@@ -1,0 +1,16 @@
+from .config import Config, load_config, apply_overrides, prepare_run_dirs
+from .mesh import MeshSpec, make_mesh, batch_sharding, replicated_sharding, shard_params_fsdp
+from .dtypes import DTypePolicy
+
+__all__ = [
+    "Config",
+    "load_config",
+    "apply_overrides",
+    "prepare_run_dirs",
+    "MeshSpec",
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_params_fsdp",
+    "DTypePolicy",
+]
