@@ -1,0 +1,184 @@
+"""On-device panoptic decoding of AE logits.
+
+Reference post-processing (trainers_ldm_cond.py:1260-1313, trainers_ae.py:
+621-668) runs per-image python loops over ``np.unique``; here the batched
+fixed-shape equivalent runs on device:
+
+  * argmax + softmax-confidence threshold (mask_th),
+  * per-id area histogram (count_th filter),
+  * overlap filter: area(argmax==k) / area(sigmoid(logit_k) >= mask_th)
+    must exceed overlap_th,
+
+all as [B, 128]-shaped masked ops. The final dynamic-shape steps — crop to
+the padding box and resize to the original image size — stay on host (numpy)
+for panopticapi-parity, exactly as the reference does.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def panoptic_decode(
+    logits: jnp.ndarray,
+    mask_th: float = 0.5,
+    ignore_label: int = 0,
+    threshold_output: bool = True,
+    threshold_mode: str = "max",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """argmax + confidence threshold. logits [B,H,W,C] -> (pred [B,H,W], probs).
+
+    Thresholded pixels become -1 (void before the +1 shift), matching
+    trainers_ldm_cond.py:1275-1284.
+    """
+    pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    probs_all = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if threshold_mode == "topk_diff":
+        top2 = jax.lax.top_k(probs_all, 2)[0]
+        conf = top2[..., 0] - top2[..., 1]
+    else:
+        conf = jnp.max(probs_all, axis=-1)
+    if threshold_output:
+        pred = jnp.where(conf < mask_th, -1, pred)
+    return pred, conf
+
+
+def filter_segments(
+    pred: jnp.ndarray,
+    logits: jnp.ndarray,
+    *,
+    num_classes: int = 128,
+    count_th: int = 512,
+    overlap_th: float = 0.5,
+    mask_th: float = 0.5,
+    ignore_label: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Area + overlap filtering at fixed shape.
+
+    pred [B,H,W] with -1 for thresholded void; logits [B,H,W,C].
+    Returns (filtered pred + 1 (0=void), keep flags [B,C]).
+    Semantics: trainers_ldm_cond.py:1293-1304.
+    """
+    b = pred.shape[0]
+    ids = jnp.arange(num_classes)
+
+    pred_idx = jnp.where(pred < 0, num_classes, pred)  # void -> overflow bin
+    areas = jax.vmap(
+        lambda p: jnp.bincount(p.reshape(-1), length=num_classes + 1)
+    )(pred_idx)[:, :num_classes]
+
+    sig_mask = jax.nn.sigmoid(logits.astype(jnp.float32)) >= mask_th
+    sig_areas = jnp.sum(sig_mask, axis=(1, 2))  # [B, C]
+
+    overlap = areas / jnp.maximum(sig_areas, 1)
+    keep = (
+        (areas >= count_th)
+        & (ids[None, :] != ignore_label)
+        & (overlap >= overlap_th)
+    )
+
+    keep_per_pixel = jnp.take_along_axis(
+        keep.astype(jnp.int32),
+        jnp.maximum(pred, 0).reshape(b, -1),
+        axis=-1,
+    ).reshape(pred.shape)
+    keep_mask = (pred >= 0) & (keep_per_pixel > 0)
+    out = jnp.where(keep_mask, pred + 1, 0)
+    return out, keep
+
+
+def crop_padding_np(arr: np.ndarray, padding_mask: np.ndarray) -> np.ndarray:
+    """Crop [..., H, W(, C)] to the bounding box of the nonzero padding mask
+    (trainers_ldm_cond.py:1172-1178)."""
+    ys, xs = np.nonzero(padding_mask)
+    y0, y1 = ys.min(), ys.max()
+    x0, x1 = xs.min(), xs.max()
+    return arr[..., y0: y1 + 1, x0: x1 + 1]
+
+
+def resize_bilinear_np(x: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Bilinear resize [C, H, W] -> [C, h, w], half-pixel centers, edge clamp.
+
+    Matches torch F.interpolate(mode='bilinear', align_corners=False).
+    """
+    c, h, w = x.shape
+    oh, ow = size
+    ys = (np.arange(oh, dtype=np.float64) + 0.5) * (h / oh) - 0.5
+    xs = (np.arange(ow, dtype=np.float64) + 0.5) * (w / ow) - 0.5
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    dy = (ys - y0).astype(np.float32)
+    dx = (xs - x0).astype(np.float32)
+    y0c = np.clip(y0, 0, h - 1)
+    y1c = np.clip(y0 + 1, 0, h - 1)
+    x0c = np.clip(x0, 0, w - 1)
+    x1c = np.clip(x0 + 1, 0, w - 1)
+    # torch clamps source coords (border replicate), weights unclamped? No:
+    # torch clamps the *interpolation* to edge pixels; equivalent to clamping
+    # coordinates into [0, dim-1] before the lerp.
+    dy = np.clip(ys, 0, h - 1) - y0c
+    dx = np.clip(xs, 0, w - 1) - x0c
+    dy = dy.astype(np.float32)[None, :, None]
+    dx = dx.astype(np.float32)[None, None, :]
+    v00 = x[:, y0c][:, :, x0c]
+    v01 = x[:, y0c][:, :, x1c]
+    v10 = x[:, y1c][:, :, x0c]
+    v11 = x[:, y1c][:, :, x1c]
+    top = v00 * (1 - dx) + v01 * dx
+    bot = v10 * (1 - dx) + v11 * dx
+    return top * (1 - dy) + bot * dy
+
+
+def postprocess_image(
+    logits_hw_c: np.ndarray,
+    padding_mask: np.ndarray,
+    original_size: Tuple[int, int],
+    *,
+    mask_th: float = 0.5,
+    count_th: int = 512,
+    overlap_th: float = 0.5,
+    ignore_label: int = 0,
+    threshold_output: bool = True,
+    threshold_mode: str = "max",
+) -> Tuple[np.ndarray, List[dict]]:
+    """Full reference-parity per-image host postprocess.
+
+    logits at input resolution [H, W, C] -> (panoptic id map [h0, w0] with
+    0=void, segments_info). Mirrors trainers_ldm_cond.py:1260-1313 exactly
+    (crop padding -> resize logits to original size -> argmax/threshold ->
+    unique-count + overlap filters).
+    """
+    x = np.ascontiguousarray(logits_hw_c.transpose(2, 0, 1))  # [C, H, W]
+    x = crop_padding_np(x, padding_mask)
+    x = resize_bilinear_np(x.astype(np.float32), original_size)
+
+    pred = np.argmax(x, axis=0).astype(np.int64)
+    if threshold_output:
+        xe = np.exp(x - x.max(axis=0, keepdims=True))
+        probs = xe / xe.sum(axis=0, keepdims=True)
+        if threshold_mode == "topk_diff":
+            part = np.partition(probs, -2, axis=0)
+            conf = part[-1] - part[-2]
+        else:
+            conf = probs.max(axis=0)
+        pred[conf < mask_th] = -1
+
+    sig = 1.0 / (1.0 + np.exp(-x))
+    segments_info = []
+    for label, count in zip(*np.unique(pred, return_counts=True)):
+        if count < count_th or label in (-1, ignore_label):
+            pred[pred == label] = -1
+            continue
+        original_mask = sig[label] >= mask_th
+        denom = max(int(original_mask.sum()), 1)
+        if (pred == label).sum() / denom < overlap_th:
+            pred[pred == label] = -1
+            continue
+        segments_info.append(
+            {"id": int(label) + 1, "category_id": 1, "isthing": True}
+        )
+    return (pred + 1).astype(np.uint32), segments_info

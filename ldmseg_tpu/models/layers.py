@@ -107,7 +107,8 @@ class ConvTranspose2x2(nn.Module):
             (2, 2, c, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        k = kernel.astype(self.dtype).reshape(4 * self.features, c).T  # [C, 4F]
+        # [2,2,C,F] -> [C, (di,dj,F)] so the matmul output unpacks in order
+        k = kernel.astype(self.dtype).transpose(2, 0, 1, 3).reshape(c, 4 * self.features)
         y = jnp.einsum(
             "bhwc,cf->bhwf", x.astype(self.dtype), k,
             preferred_element_type=self.dtype,

@@ -1,11 +1,13 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax initializes a backend (SURVEY §4 implication d).
+The image pins JAX_PLATFORMS=axon (a tunneled TPU); the env var is
+overridden at import time, so tests force the CPU backend via
+jax.config.update before any backend initialization (SURVEY §4 implication d:
+distributed tests run on --xla_force_host_platform_device_count=8).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 
