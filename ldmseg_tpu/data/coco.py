@@ -1,0 +1,429 @@
+"""COCO panoptic dataset (host-side numpy/PIL input pipeline).
+
+Reference: ldmseg/data/coco.py. Semantics preserved:
+  * panoptic PNG ids decoded R + 256 G + 256^2 B (:489-490),
+  * train-time filtering of tiny instances (<10 px, :313-315,:495-500) and
+    crowd segments (:509-511); images without annotations dropped (:281-292),
+  * per-example random remap of instance ids into [1, 128) (:320-351),
+  * seg encodings bits / color / random_color / none (:377-390,:439-462),
+  * captions: none / coco captions / class-name lists / BLIP json with
+    caption dropout (:411-423), CLIP tokenization to 77 tokens (:465-470),
+  * per-sample inpainting mask (:472), contiguous-category metadata
+    (:540-588).
+
+Differences (TPU-first): category metadata comes from the panoptic json
+(no hardcoded table); all RNG is an explicit per-worker np.random.Generator
+(the reference uses global RNG state, SURVEY §5 race-detection note).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from .encodings import (
+    color_map,
+    encode_bitmap,
+    encode_semseg_color,
+    encode_semseg_random_color,
+    remap_labels,
+)
+from .mask_generator import MaskingGenerator
+
+
+def coco_root(prefix: str) -> str:
+    return os.path.join(prefix, "coco")
+
+
+class COCOPanoptic:
+    def __init__(
+        self,
+        prefix: str,
+        split: str = "val",
+        tokenizer: Optional[Any] = None,
+        transform: Optional[Callable] = None,
+        remap_labels: bool = False,
+        caption_dropout: float = 0.0,
+        overfit: bool = False,
+        encoding_mode: str = "bits",
+        caption_type: str = "none",
+        inpaint_mask_size: Optional[Tuple[int, int]] = None,
+        num_classes: int = 128,
+        fill_value: float = 0.5,
+        ignore_label: int = 0,
+        inpainting_strength: float = 0.0,
+        seed: int = 0,
+    ):
+        assert split in ("train", "val", "test")
+        assert caption_type in ("none", "caption", "class_label", "blip")
+        assert encoding_mode in ("color", "random_color", "bits", "none")
+
+        self.root = coco_root(prefix)
+        self.split = split
+        self.training = split == "train"
+        self.tokenizer = tokenizer
+        self.transform = transform
+        self.remap = remap_labels
+        self.caption_dropout = caption_dropout
+        self.encoding_mode = encoding_mode
+        self.caption_type = caption_type
+        self.num_classes = num_classes
+        self.fill_value = fill_value
+        self.ignore_label = ignore_label
+        self.inpainting_strength = inpainting_strength
+        self.pixel_threshold = 10 if self.training else 0
+        self.rng = np.random.default_rng(seed)
+        self.cmap = color_map()
+        self.mask_generator = MaskingGenerator(
+            input_size=inpaint_mask_size or (64, 64), mode="random_local",
+            rng=self.rng,
+        )
+
+        file_dir = {"train": "train2017", "val": "val2017"}[split]
+        image_dir = os.path.join(self.root, file_dir)
+        semseg_dir = os.path.join(self.root, f"annotations/panoptic_{file_dir}")
+        self.panoptic_json = os.path.join(
+            self.root, f"annotations/panoptic_{file_dir}.json"
+        )
+        captions_json = os.path.join(
+            self.root, f"annotations/captions_{file_dir}.json"
+        )
+
+        with open(self.panoptic_json, "r") as f:
+            panoptic_anns = json.load(f)
+        self.annotations_dict = {
+            a["file_name"]: a for a in panoptic_anns["annotations"]
+        }
+        self.categories = panoptic_anns["categories"]
+        self.cat_info = {
+            c["id"]: {"name": c["name"], "isthing": c["isthing"]}
+            for c in self.categories
+        }
+
+        self.captions_dict = defaultdict(list)
+        if caption_type in ("caption",) and os.path.isfile(captions_json):
+            with open(captions_json, "r") as f:
+                captions_anns = json.load(f)
+            for ann in captions_anns["annotations"]:
+                self.captions_dict[ann["image_id"]].append(ann["caption"])
+
+        self.blip_captions = None
+        blip_path = os.path.join(
+            os.path.dirname(__file__), "blip_captions", f"captions_{file_dir}.json"
+        )
+        if caption_type == "blip" and os.path.isfile(blip_path):
+            with open(blip_path, "r") as f:
+                self.blip_captions = json.load(f)
+
+        lines = sorted(
+            l.split(".")[0] for l in os.listdir(image_dir)
+        )
+        self.images, self.semsegs = [], []
+        dropped = 0
+        for line in lines:
+            img = os.path.join(image_dir, line + ".jpg")
+            seg = os.path.join(semseg_dir, line + ".png")
+            info = self.annotations_dict.get(line + ".png", {}).get(
+                "segments_info", []
+            )
+            if len(info) > 0 and not all(s["iscrowd"] == 1 for s in info):
+                self.images.append(img)
+                self.semsegs.append(seg)
+            else:
+                dropped += 1
+        if overfit:
+            self.images = self.images[:1000]
+            self.semsegs = self.semsegs[:1000]
+        print(
+            f"COCO {split}: {len(self.images)} images "
+            f"({dropped} without usable annotations dropped)"
+        )
+
+        self.meta_data = self.get_metadata()
+
+    # -- metadata ---------------------------------------------------------
+    def get_metadata(self) -> Dict:
+        """Contiguous-id maps & eval paths (reference coco.py:540-588)."""
+        meta: Dict[str, Any] = {}
+        meta["thing_classes"] = [c["name"] for c in self.categories if c["isthing"]]
+        meta["thing_colors"] = [
+            c.get("color", [128, 128, 128]) for c in self.categories if c["isthing"]
+        ]
+        meta["stuff_classes"] = [c["name"] for c in self.categories]
+        meta["stuff_colors"] = [
+            c.get("color", [128, 128, 128]) for c in self.categories
+        ]
+        thing_map, stuff_map, cat2name = {}, {}, {}
+        for i, c in enumerate(self.categories):
+            if c["isthing"]:
+                thing_map[c["id"]] = i
+            stuff_map[c["id"]] = i
+            cat2name[c["id"]] = c["name"]
+        meta["thing_dataset_id_to_contiguous_id"] = thing_map
+        meta["stuff_dataset_id_to_contiguous_id"] = stuff_map
+        meta["cat2name"] = cat2name
+        meta["panoptic_json"] = self.panoptic_json
+        meta["panoptic_root"] = os.path.join(
+            self.root, f"annotations/panoptic_{'train' if self.training else 'val'}2017"
+        )
+        return meta
+
+    def get_class_names(self) -> List[str]:
+        return [c["name"] for c in self.categories]
+
+    # -- loading ----------------------------------------------------------
+    def _load_img(self, index: int) -> Image.Image:
+        return Image.open(self.images[index]).convert("RGB")
+
+    def _load_semseg(self, index: int):
+        """PNG -> id map with small/crowd filtering + contiguous category ids
+        (reference coco.py:488-538)."""
+        arr = np.array(Image.open(self.semsegs[index]).convert("RGB"))
+        semseg = (
+            arr[:, :, 0].astype(np.int64)
+            + 256 * arr[:, :, 1].astype(np.int64)
+            + (256 ** 2) * arr[:, :, 2].astype(np.int64)
+        )
+
+        small = set()
+        if self.training and self.pixel_threshold > 0:
+            ids, counts = np.unique(semseg, return_counts=True)
+            for i, c in zip(ids, counts):
+                if c < self.pixel_threshold:
+                    semseg[semseg == i] = self.ignore_label
+                    small.add(int(i))
+
+        key = os.path.basename(self.semsegs[index])
+        keep = {}
+        for seg in self.annotations_dict[key]["segments_info"]:
+            if seg["id"] in small:
+                continue
+            if seg["iscrowd"] and self.training:
+                semseg[semseg == seg["id"]] = self.ignore_label
+                continue
+            cat_id = seg["category_id"]
+            meta = self.meta_data
+            contiguous = (
+                meta["thing_dataset_id_to_contiguous_id"].get(cat_id)
+                if cat_id in meta["thing_dataset_id_to_contiguous_id"]
+                else meta["stuff_dataset_id_to_contiguous_id"][cat_id]
+            )
+            keep[seg["id"]] = {
+                "category_id": contiguous,
+                "iscrowd": seg["iscrowd"],
+                "category_name": self.cat_info[cat_id]["name"],
+                "isthing": self.cat_info[cat_id]["isthing"],
+            }
+
+        image_id = key.split(".")[0]
+        captions = self.captions_dict.get(int(image_id), [""])
+        assert semseg.max() > 0
+        return semseg, keep, captions, image_id + ".jpg"
+
+    # -- item -------------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        sample: Dict[str, Any] = {}
+        img = self._load_img(index)
+        sample["image"] = img
+
+        semseg, segments_info, captions, key_id = self._load_semseg(index)
+
+        if self.caption_type == "caption":
+            sample["text"] = (
+                captions[int(self.rng.integers(len(captions)))]
+                if self.training else captions[0]
+            )
+        elif self.caption_type == "class_label":
+            sample["text"] = ", ".join(
+                v["category_name"] for v in segments_info.values()
+            )
+        elif self.caption_type == "blip" and self.blip_captions is not None:
+            sample["text"] = self.blip_captions[key_id]
+        else:
+            sample["text"] = ""
+        if self.training and self.caption_dropout > self.rng.random():
+            sample["text"] = ""
+
+        if self.remap:
+            semseg, mapping = remap_labels(
+                semseg, num_classes=self.num_classes,
+                ignore_label=self.ignore_label, rng=self.rng,
+            )
+            segments_info = {mapping[k]: v for k, v in segments_info.items()}
+
+        assert semseg.max() < 256
+        sample["semseg"] = Image.fromarray(semseg.astype(np.uint8))
+        sample["mask"] = Image.fromarray(np.ones_like(semseg, dtype=np.uint8))
+
+        if self.encoding_mode == "random_color":
+            sample["image_semseg"] = Image.fromarray(
+                encode_semseg_random_color(
+                    semseg, ignore_label=self.ignore_label, rng=self.rng
+                )
+            )
+        elif self.encoding_mode == "color":
+            sample["image_semseg"] = Image.fromarray(
+                encode_semseg_color(semseg, self.cmap, self.ignore_label)
+            )
+
+        sample["meta"] = {
+            "im_size": (img.size[1], img.size[0]),
+            "image_file": self.images[index],
+            "image_id": int(os.path.basename(self.images[index]).split(".")[0]),
+            "segments_info": segments_info,
+        }
+
+        if self.transform is not None:
+            sample = self.transform(sample)
+
+        # bit/none encodings apply AFTER geometric transforms (coco.py:459-462)
+        if self.encoding_mode == "bits":
+            bits, _ = encode_bitmap(
+                sample["semseg"], n=7, fill_value=self.fill_value,
+                ignore_label=self.ignore_label,
+            )
+            sample["image_semseg"] = bits
+        elif self.encoding_mode == "none":
+            sample["image_semseg"] = np.repeat(
+                sample["semseg"][..., None].astype(np.float32) / self.num_classes,
+                3, axis=-1,
+            )
+
+        if self.tokenizer is not None:
+            sample["tokens"] = np.asarray(
+                self.tokenizer(
+                    sample["text"], padding="max_length", max_length=77,
+                    truncation=True, return_tensors="np",
+                ).input_ids[0]
+            )
+
+        sample["inpainting_mask"] = self.mask_generator(
+            t=self.inpainting_strength
+        )
+        return sample
+
+
+class COCOExamples(COCOPanoptic):
+    """The 16 bundled example images (reference data/examples/coco/) —
+    no annotation json, so segments_info is derived from the PNG ids and
+    a synthetic class-agnostic GT json is written for PQ eval."""
+
+    def __init__(self, examples_root: str, transform=None, split: str = "val",
+                 **kw):
+        # bypass COCOPanoptic.__init__: build minimal state directly
+        self.root = examples_root
+        self.split = split
+        self.training = split == "train"
+        self.tokenizer = kw.get("tokenizer")
+        self.transform = transform
+        self.remap = kw.get("remap_labels", False)
+        self.caption_dropout = kw.get("caption_dropout", 0.0)
+        self.encoding_mode = kw.get("encoding_mode", "bits")
+        self.caption_type = "none"
+        self.num_classes = kw.get("num_classes", 128)
+        self.fill_value = kw.get("fill_value", 0.5)
+        self.ignore_label = kw.get("ignore_label", 0)
+        self.inpainting_strength = kw.get("inpainting_strength", 0.0)
+        self.pixel_threshold = 10 if self.training else 0
+        self.rng = np.random.default_rng(kw.get("seed", 0))
+        self.cmap = color_map()
+        self.mask_generator = MaskingGenerator(
+            input_size=kw.get("inpaint_mask_size") or (64, 64),
+            mode="random_local", rng=self.rng,
+        )
+        img_dir = os.path.join(examples_root, "rgb_images")
+        seg_dir = os.path.join(examples_root, "panoptic_images")
+        names = sorted(os.path.splitext(f)[0] for f in os.listdir(img_dir))
+        self.images = [os.path.join(img_dir, n + ".jpg") for n in names]
+        self.semsegs = [os.path.join(seg_dir, n + ".png") for n in names]
+        self.captions_dict = defaultdict(lambda: [""])
+        self.categories = [
+            {"id": 1, "name": "object", "supercategory": "object", "isthing": 1}
+        ]
+        self.cat_info = {1: {"name": "object", "isthing": 1}}
+        self.panoptic_json = self._write_gt_json(seg_dir, names)
+        self.annotations_dict = self._build_annotations(names)
+        self.meta_data = self.get_metadata()
+        self.meta_data["panoptic_root"] = seg_dir
+        self.meta_data["panoptic_json"] = self.panoptic_json
+
+    def _build_annotations(self, names):
+        anns = {}
+        with open(self.panoptic_json) as f:
+            data = json.load(f)
+        for a in data["annotations"]:
+            anns[a["file_name"]] = a
+        return anns
+
+    def _write_gt_json(self, seg_dir: str, names) -> str:
+        out_path = os.path.join(seg_dir, "panoptic_examples.json")
+        if os.path.exists(out_path):
+            return out_path
+        annotations = []
+        for n in names:
+            arr = np.array(Image.open(os.path.join(seg_dir, n + ".png")).convert("RGB"))
+            ids = (
+                arr[:, :, 0].astype(np.int64)
+                + 256 * arr[:, :, 1].astype(np.int64)
+                + 256 ** 2 * arr[:, :, 2].astype(np.int64)
+            )
+            segments = [
+                {"id": int(i), "category_id": 1, "iscrowd": 0,
+                 "area": int((ids == i).sum())}
+                for i in np.unique(ids) if i != 0
+            ]
+            annotations.append(
+                {"image_id": int(n), "file_name": n + ".png",
+                 "segments_info": segments}
+            )
+        data = {
+            "annotations": annotations,
+            "categories": self.categories,
+        }
+        with open(out_path, "w") as f:
+            json.dump(data, f)
+        return out_path
+
+
+def get_dataset(
+    db_name: str,
+    data_dir: str,
+    split,
+    **kwargs,
+):
+    """Dataset factory (reference dataset_base.py:74-141); list splits concat."""
+    if db_name != "coco":
+        raise NotImplementedError(f"dataset '{db_name}'")
+    if isinstance(split, (list, tuple)):
+        return ConcatDataset([
+            COCOPanoptic(prefix=data_dir, split=s, **kwargs) for s in split
+        ])
+    return COCOPanoptic(prefix=data_dir, split=split, **kwargs)
+
+
+class ConcatDataset:
+    def __init__(self, datasets):
+        self.datasets = datasets
+        self._offsets = np.cumsum([len(d) for d in datasets])
+        # eval metadata comes from the first dataset
+        self.meta_data = datasets[0].meta_data
+        self.ignore_label = datasets[0].ignore_label
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, index):
+        ds = int(np.searchsorted(self._offsets, index, side="right"))
+        prev = 0 if ds == 0 else int(self._offsets[ds - 1])
+        return self.datasets[ds][index - prev]
+
+    def get_class_names(self):
+        return self.datasets[0].get_class_names()

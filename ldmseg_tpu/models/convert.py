@@ -354,12 +354,13 @@ def modify_conv_in(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     fan_in = kh * kw * (in_channels + cond_channels)
     bound = float(np.sqrt(1.0 / fan_in))
-    new = np.asarray(
+    new = np.array(
         jax.random.uniform(
             rng, (kh, kw, in_channels + cond_channels, out),
             minval=-bound, maxval=bound,
         ),
         dtype=kernel.dtype,
+        copy=True,
     )
 
     def fill(slice_idx, mode):

@@ -321,12 +321,13 @@ class VAEAttention(nn.Module):
     """Single-head full attention used in the SD VAE mid block."""
 
     dtype: Dtype = jnp.float32
+    groups: int = 32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         residual = x
-        x = GroupNorm(32, 1e-6, dtype=self.dtype, name="group_norm")(x)
+        x = GroupNorm(self.groups, 1e-6, dtype=self.dtype, name="group_norm")(x)
         x = x.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
@@ -359,7 +360,8 @@ class UNetMidBlock2D(nn.Module):
             eps=self.eps, dtype=self.dtype, name="resnets_0",
         )(x, temb)
         if self.add_attention:
-            x = VAEAttention(dtype=self.dtype, name="attentions_0")(x)
+            x = VAEAttention(dtype=self.dtype, groups=self.groups,
+                             name="attentions_0")(x)
         x = ResnetBlock2D(
             self.channels, temb_channels=self.temb_channels, groups=self.groups,
             eps=self.eps, dtype=self.dtype, name="resnets_1",

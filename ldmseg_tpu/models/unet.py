@@ -323,7 +323,7 @@ def tiny_unet_config(**kw) -> UNetConfig:
     defaults = dict(
         in_channels=8,
         out_channels=4,
-        block_out_channels=(32, 64, 96, 96),
+        block_out_channels=(32, 64, 96),
         layers_per_block=1,
         num_attention_heads=4,
         cross_attention_dim=32,

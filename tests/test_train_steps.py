@@ -1,0 +1,207 @@
+"""Train-step tests: AE + LDM steps on an 8-device CPU mesh, freezing, EMA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ldmseg_tpu.core import MeshSpec, make_mesh, batch_sharding, replicated_sharding
+from ldmseg_tpu.diffusion import make_schedule
+from ldmseg_tpu.losses import SegLossConfig
+from ldmseg_tpu.models import SegVAE, SegVAEConfig
+from ldmseg_tpu.models.unet import CondUNet, tiny_unet_config
+from ldmseg_tpu.models.vae_sd import SDVAE, SDVAEConfig
+from ldmseg_tpu.train import TrainState, OptimConfig, make_optimizer, make_lr_schedule
+from ldmseg_tpu.train.optim import param_labels
+from ldmseg_tpu.train.steps_ae import AEStepConfig, make_ae_train_step
+from ldmseg_tpu.train.steps_ldm import LDMStepConfig, make_ldm_train_step
+
+
+TINY_AE = SegVAEConfig(
+    in_channels=7, int_channels=16, out_channels=16,
+    block_out_channels=(8, 8, 8, 16), latent_channels=4, norm_num_groups=8,
+    num_upscalers=1, upscale_channels=16,
+)
+
+TINY_SD = SDVAEConfig(
+    block_out_channels=(8, 8, 8, 8), layers_per_block=1, norm_num_groups=4,
+    dtype="float32",
+)
+
+
+def _ae_batch(rng, b=8, hw=32):
+    semseg = rng.integers(0, 8, size=(b, hw, hw)).astype(np.int32)
+    bits = ((semseg[..., None] >> np.arange(7)) % 2).astype(np.float32)
+    return {
+        "image_semseg": jnp.asarray(bits),
+        "semseg": jnp.asarray(semseg),
+        "image": jnp.asarray(rng.random((b, hw, hw, 3)).astype(np.float32)),
+    }
+
+
+def test_ae_train_step_runs_and_learns(cpu_devices):
+    mesh = make_mesh(MeshSpec(data=8, fsdp=1))
+    model = SegVAE(TINY_AE)
+    rng = np.random.default_rng(0)
+    batch = _ae_batch(rng)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch["image_semseg"],
+        rng=jax.random.PRNGKey(1),
+    )
+    cfg = AEStepConfig(
+        loss_cfg=SegLossConfig(num_points=64, num_classes=16, max_masks=8),
+        w_kl=1e-6,
+    )
+    tx = make_optimizer(
+        variables["params"],
+        OptimConfig(lr=1e-3, clip_grad=3.0, weight_decay=0.01),
+        make_lr_schedule("warmup", 1e-3, 100, warmup_iters=5),
+    )
+    state = TrainState.create(variables["params"], tx)
+    step = jax.jit(
+        make_ae_train_step(model, tx, cfg),
+        in_shardings=(
+            replicated_sharding(mesh),
+            jax.tree_util.tree_map(lambda _: batch_sharding(mesh), batch),
+            replicated_sharding(mesh),
+        ),
+    )
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.PRNGKey(42))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert int(state.step) == 4
+    assert losses[-1] < losses[0]  # same batch -> must overfit
+
+
+def test_optimizer_freezing_and_labels():
+    cfg = tiny_unet_config()
+    unet = CondUNet(cfg)
+    x = jnp.zeros((1, 16, 16, 8))
+    params = unet.init(jax.random.PRNGKey(0), x, jnp.array([1]))["params"]
+    labels = param_labels(params, freeze_layers=("norm", "time_embedding"))
+    flat = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(labels)
+    }
+    assert all(
+        v == "frozen" for k, v in flat.items() if "time_embedding" in k
+    )
+    assert all(v == "frozen" for k, v in flat.items() if "/norm1']['scale" in k)
+    assert any(v == "train" for v in flat.values())
+
+    tx = make_optimizer(
+        params,
+        OptimConfig(lr=1e-3, freeze_layers=("norm", "time_embedding")),
+        make_lr_schedule("constant", 1e-3, 10),
+    )
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    upd_flat = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(updates)
+    }
+    for k, v in upd_flat.items():
+        if "time_embedding" in k:
+            assert float(jnp.abs(v).max()) == 0.0, k
+        if k.endswith("['scale']"):
+            assert float(jnp.abs(v).max()) == 0.0, k
+
+
+def _ldm_batch(rng, b=8, hw=32):
+    semseg = rng.integers(0, 8, size=(b, hw, hw)).astype(np.int32)
+    bits = ((semseg[..., None] >> np.arange(7)) % 2).astype(np.float32)
+    return {
+        "image_semseg": jnp.asarray(bits),
+        "semseg": jnp.asarray(semseg),
+        "image": jnp.asarray(rng.random((b, hw, hw, 3)).astype(np.float32)),
+        "mask": jnp.ones((b, hw, hw), jnp.int32),
+        "inpainting_mask": jnp.asarray(
+            (rng.random((b, 4, 4)) < 0.3).astype(np.int32)
+        ),
+    }
+
+
+def test_ldm_train_step_full_featured(cpu_devices):
+    """Exercises: self-conditioning, inpainting, SNR weights, OHEM, EMA, fsdp."""
+    mesh = make_mesh(MeshSpec(data=4, fsdp=2))
+    seg_vae = SegVAE(TINY_AE)
+    sd_vae = SDVAE(TINY_SD)
+    unet_cfg = tiny_unet_config(in_channels=8, cond_channels=4)
+    unet = CondUNet(unet_cfg)
+
+    rng = np.random.default_rng(0)
+    batch = _ldm_batch(rng)
+
+    seg_params = seg_vae.init(
+        {"params": jax.random.PRNGKey(0)}, batch["image_semseg"],
+        rng=jax.random.PRNGKey(1),
+    )["params"]
+    sd_params = sd_vae.init(
+        {"params": jax.random.PRNGKey(2)}, batch["image"],
+        rng=jax.random.PRNGKey(3),
+    )["params"]
+    x = jnp.zeros((8, 4, 4, 12))
+    unet_params = unet.init(jax.random.PRNGKey(4), x, jnp.array([1]))["params"]
+
+    sched = make_schedule(
+        num_train_timesteps=100, beta_schedule="scaled_linear",
+        beta_start=0.00085, beta_end=0.012, weight="max_clamp_snr", max_snr=2.0,
+        clip_sample=False, set_alpha_to_one=False,
+    )
+    cfg = LDMStepConfig(
+        self_condition=True, prob_inpainting=0.5, ohem_ratio=0.9,
+        latent_size=4, use_ema=True, min_noise_level=0,
+        prob_train_on_pred=0.3,
+    )
+    tx = make_optimizer(
+        unet_params,
+        OptimConfig(lr=1e-4, clip_grad=1.0, weight_decay=0.05,
+                    freeze_layers=("time_embedding",)),
+        make_lr_schedule("cosine", 1e-4, 100, warmup_iters=10),
+    )
+    state = TrainState.create(unet_params, tx, ema=True)
+    frozen = {"seg_vae": seg_params, "sd_vae": sd_params}
+
+    step = jax.jit(make_ldm_train_step(unet, seg_vae, sd_vae, sched, tx, cfg))
+    for i in range(2):
+        state, metrics = step(state, frozen, batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    assert int(state.step) == 2
+    # ema differs from params but tracks them
+    d = jax.tree_util.tree_map(
+        lambda e, p: float(jnp.abs(e - p).max()), state.ema_params, state.params
+    )
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_grad_accumulation_multisteps():
+    model = SegVAE(TINY_AE)
+    rng = np.random.default_rng(0)
+    batch = _ae_batch(rng, b=2)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch["image_semseg"],
+        rng=jax.random.PRNGKey(1),
+    )
+    cfg = AEStepConfig(loss_cfg=SegLossConfig(num_points=32, num_classes=16,
+                                              max_masks=4))
+    tx = make_optimizer(
+        variables["params"],
+        OptimConfig(lr=1e-3, accumulate=2),
+        make_lr_schedule("constant", 1e-3, 10),
+    )
+    state = TrainState.create(variables["params"], tx)
+    step = jax.jit(make_ae_train_step(model, tx, cfg))
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    # first micro-step: no param update yet
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    p2 = jax.tree_util.tree_leaves(state.params)[0]
+    assert np.abs(np.asarray(p2) - np.asarray(p0)).max() > 0
