@@ -61,38 +61,43 @@ def main():
         set_alpha_to_one=False,
     )
 
-    def pipeline(rgb01, rng):
+    def pipeline(params, rgb01, rng):
         x = 2.0 * rgb01 - 1.0
         _, rgb_lat, _ = sd_vae.apply(
-            {"params": sd_params}, x, None, False,
+            {"params": params["sd"]}, x, None, False,
             method=lambda m, a, r, sp: m.encode(a, r, sample_posterior=sp),
         )
         rgb_lat = rgb_lat * 0.18215
 
         def denoise(inputs, t, ctx):
-            return unet.apply({"params": unet_params}, inputs, t, ctx)
+            return unet.apply({"params": params["unet"]}, inputs, t, ctx)
 
         latents = ddim_sample(
             denoise, sched, rng, rgb_lat,
             num_inference_steps=steps, self_condition=True,
         )
         logits = seg_vae.apply(
-            {"params": seg_params}, latents / seg_cfg.scaling_factor, True,
+            {"params": params["seg"]}, latents / seg_cfg.scaling_factor, True,
             method=lambda m, a, interp: m.decode(a, interpolate=interp),
         )
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    fn = jax.jit(pipeline)
+    # params as explicit jit args (closure capture would bake ~3.4GB of
+    # constants into the program and re-ship them per compile)
+    params = jax.device_put(
+        {"unet": unet_params, "sd": sd_params, "seg": seg_params}
+    )
+    fn = jax.jit(pipeline, donate_argnums=())
     rgb = jax.random.uniform(k4, (batch, image_size, image_size, 3))
 
     # compile + warmup
-    out = fn(rgb, jax.random.PRNGKey(1))
+    out = fn(params, rgb, jax.random.PRNGKey(1))
     out.block_until_ready()
 
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.perf_counter()
     for i in range(iters):
-        out = fn(rgb, jax.random.PRNGKey(2 + i))
+        out = fn(params, rgb, jax.random.PRNGKey(2 + i))
     out.block_until_ready()
     dt = time.perf_counter() - t0
 

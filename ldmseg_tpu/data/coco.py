@@ -324,7 +324,7 @@ class COCOExamples(COCOPanoptic):
         self.training = split == "train"
         self.tokenizer = kw.get("tokenizer")
         self.transform = transform
-        self.remap = kw.get("remap_labels", False)
+        self.remap = kw.get("remap_labels", True)
         self.caption_dropout = kw.get("caption_dropout", 0.0)
         self.encoding_mode = kw.get("encoding_mode", "bits")
         self.caption_type = "none"
@@ -399,7 +399,18 @@ def get_dataset(
     split,
     **kwargs,
 ):
-    """Dataset factory (reference dataset_base.py:74-141); list splits concat."""
+    """Dataset factory (reference dataset_base.py:74-141); list splits concat.
+
+    db_name 'examples' loads the 16 bundled example images from
+    ``data_dir`` (a copy of the reference data/examples/coco directory) —
+    the fast end-to-end smoke-train path (BASELINE config 1).
+    """
+    if db_name == "examples":
+        kwargs.pop("caption_dropout", None)
+        kwargs.pop("caption_type", None)
+        return COCOExamples(examples_root=data_dir,
+                            split="train" if split == "train" else "val",
+                            **kwargs)
     if db_name != "coco":
         raise NotImplementedError(f"dataset '{db_name}'")
     if isinstance(split, (list, tuple)):

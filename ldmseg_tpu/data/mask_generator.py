@@ -50,7 +50,8 @@ class MaskingGenerator:
         """Try to place one random block; returns #newly-masked patches."""
         delta = 0
         for _ in range(10):
-            target_area = self.rng.uniform(self.min_num_patches, max_mask_patches)
+            lo, hi = sorted((self.min_num_patches, max_mask_patches))
+            target_area = self.rng.uniform(lo, hi)
             aspect_ratio = math.exp(self.rng.uniform(*self.log_aspect_ratio))
             h = int(round(math.sqrt(target_area * aspect_ratio)))
             w = int(round(math.sqrt(target_area / aspect_ratio)))

@@ -68,6 +68,7 @@ class UNetConfig:
     num_object_queries: Optional[int] = None
     input_dropout: float = 0.0
     input_dropout_mode: str = "standard"
+    gradient_checkpointing: bool = False
     dtype: str = "bfloat16"
 
     def __post_init__(self):
@@ -88,6 +89,15 @@ class UNetConfig:
         return self.in_channels + self.cond_channels
 
 
+def _maybe_remat(cfg: "UNetConfig"):
+    """Activation checkpointing on resnet/transformer blocks
+    (reference: unet.enable_gradient_checkpointing, tools/main_ldm.py:149-151;
+    TPU plan per SURVEY §2.10: jax.checkpoint policies on UNet blocks)."""
+    if cfg.gradient_checkpointing:
+        return nn.remat(ResnetBlock2D), nn.remat(Transformer2D)
+    return ResnetBlock2D, Transformer2D
+
+
 class DownBlocks(nn.Module):
     """The 4 SD down blocks; returns (hidden, residuals tuple)."""
 
@@ -98,17 +108,18 @@ class DownBlocks(nn.Module):
     def __call__(self, x, temb, context=None):
         cfg = self.cfg
         dt = cfg.compute_dtype
+        Resnet, Transformer = _maybe_remat(cfg)
         res_samples = ()
         n = len(cfg.block_out_channels)
         for i, ch in enumerate(cfg.block_out_channels):
             has_attn = i < n - 1
             for j in range(cfg.layers_per_block):
-                x = ResnetBlock2D(
+                x = Resnet(
                     ch, temb_channels=cfg.temb_dim, eps=1e-5, dtype=dt,
                     name=f"{self.name_prefix}_{i}_resnets_{j}",
                 )(x, temb)
                 if has_attn:
-                    x = Transformer2D(
+                    x = Transformer(
                         heads=cfg.num_attention_heads,
                         dim_head=ch // cfg.num_attention_heads,
                         use_cross_attention=cfg.use_cross_attention,
@@ -288,18 +299,19 @@ class CondUNet(nn.Module):
         # 6. up blocks
         rev = tuple(reversed(cfg.block_out_channels))  # (1280,1280,640,320)
         n = len(rev)
+        Resnet, Transformer = _maybe_remat(cfg)
         res_list = list(res_samples)
         for i, ch in enumerate(rev):
             has_attn = i > 0
             for j in range(cfg.layers_per_block + 1):
                 res = res_list.pop()
                 x = jnp.concatenate([x, res.astype(dt)], axis=-1)
-                x = ResnetBlock2D(
+                x = Resnet(
                     ch, temb_channels=cfg.temb_dim, eps=1e-5, dtype=dt,
                     name=f"up_blocks_{i}_resnets_{j}",
                 )(x, emb)
                 if has_attn:
-                    x = Transformer2D(
+                    x = Transformer(
                         heads=cfg.num_attention_heads,
                         dim_head=ch // cfg.num_attention_heads,
                         use_cross_attention=cfg.use_cross_attention,

@@ -40,8 +40,13 @@ def make_ae_train_step(
     model: SegVAE,
     tx: optax.GradientTransformation,
     cfg: AEStepConfig,
+    external_encoder=None,
 ) -> Callable:
-    def loss_fn(params, batch, rng):
+    """``external_encoder``: optional (module, frozen_params_key) pair for the
+    shared-SD-VAE-encoder option (tools/main_ae.py:140-143): the frozen SD
+    encoder produces the bottleneck moments; only the seg decoder trains."""
+
+    def loss_fn(params, batch, rng, frozen=None):
         r_corrupt1, r_corrupt2, r_post, r_loss = jax.random.split(rng, 4)
         images = 2.0 * batch["image_semseg"] - 1.0        # [B,H,W,Cbits]
         targets = batch["semseg"].astype(jnp.int32)        # [B,H,W]
@@ -72,14 +77,33 @@ def make_ae_train_step(
             t_small = nearest_resize_torch(targets.astype(jnp.float32), lat)
             latent_mask = (t_small != cfg.ignore_label).astype(jnp.float32)
 
-        logits, z, kl = model.apply(
-            {"params": params},
-            images,
-            rng=r_post,
-            sample_posterior=cfg.sample_posterior,
-            rgb_sample=rgbs,
-            valid_mask=latent_mask,
-        )
+        if external_encoder is not None:
+            assert frozen is not None
+            sd_vae, key = external_encoder
+            moments = sd_vae.apply(
+                {"params": frozen[key]}, images,
+                method=lambda m, a: m.encode_moments(a),
+            )
+            moments = jax.lax.stop_gradient(moments)
+            z, mode, kl = model.apply(
+                {"params": params}, moments, r_post, cfg.sample_posterior,
+                method=lambda m, mo, r, sp: m.bottleneck(mo, r, sample_posterior=sp),
+            )
+            if latent_mask is not None:
+                z = z * latent_mask[..., None]
+            logits = model.apply(
+                {"params": params}, z, False,
+                method=lambda m, a, interp: m.decode(a, interpolate=interp),
+            )
+        else:
+            logits, z, kl = model.apply(
+                {"params": params},
+                images,
+                rng=r_post,
+                sample_posterior=cfg.sample_posterior,
+                rgb_sample=rgbs,
+                valid_mask=latent_mask,
+            )
         losses = segmentation_point_loss(
             logits, targets, r_loss, cfg.loss_cfg, valid_region=valid_region
         )
@@ -92,11 +116,12 @@ def make_ae_train_step(
         return total, losses
 
     def train_step(
-        state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
+        state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array,
+        frozen=None,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         rng = jax.random.fold_in(rng, state.step)
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
+            state.params, batch, rng, frozen
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -18,9 +18,13 @@ class TrainState:
 
     @classmethod
     def create(cls, params, tx: optax.GradientTransformation, ema: bool = False):
+        import jax
+
+        # ema must NOT alias params: donation would see the same buffer twice
+        ema_params = jax.tree_util.tree_map(jnp.copy, params) if ema else None
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
-            ema_params=params if ema else None,
+            ema_params=ema_params,
         )

@@ -41,6 +41,7 @@ from ldmseg_tpu.train.checkpoint import (
 )
 from ldmseg_tpu.train.steps_ae import AEStepConfig, make_ae_train_step
 from ldmseg_tpu.utils.meters import AverageMeter, ProgressMeter
+from ldmseg_tpu.utils.metrics_logger import MetricsLogger, ProfilerHook
 from ldmseg_tpu.utils.visualize import colorize_ids, make_row, stack_rows, write_image
 
 
@@ -70,6 +71,12 @@ class TrainerAE:
         os.makedirs(self.visualization_dir, exist_ok=True)
         self.seed = seed
         self.rng = jax.random.PRNGKey(seed)
+        self.metrics_logger = MetricsLogger(
+            results_folder, use_wandb=p.get("wandb", False), name=p.get("name")
+        )
+        self.profiler = ProfilerHook(
+            results_folder, enabled=p["train_kwargs"].get("profile", False)
+        )
 
         tk = p["train_kwargs"]
         ek = p["eval_kwargs"]
@@ -89,6 +96,36 @@ class TrainerAE:
         self.vae_cfg = build_seg_vae_config(p)
         self.model = SegVAE(self.vae_cfg)
         self.latent_size = self.image_size // self.vae_cfg.downsample_factor
+
+        # shared SD-VAE encoder option (tools/main_ae.py:140-143): the frozen
+        # SD encoder produces the moments (requires a 3-channel seg encoding)
+        self.shared_encoder = None
+        self.frozen = None
+        if p.get("shared_vae_encoder"):
+            from ldmseg_tpu.models.vae_sd import SDVAE, SDVAEConfig
+
+            sd_cfg = SDVAEConfig(
+                scaling_factor=p.get("image_scaling_factor", 0.18215),
+                dtype=tk.get("weight_dtype", "float32"),
+            )
+            self.sd_vae = SDVAE(sd_cfg)
+            k_sd, self.rng = jax.random.split(self.rng)
+            sd_params = self.sd_vae.init(
+                {"params": k_sd}, jnp.zeros((1, 64, 64, 3)), rng=k_sd
+            )["params"]
+            pm_path = p.get("pretrained_model_path")
+            if pm_path and os.path.isdir(pm_path):
+                from ldmseg_tpu.models.convert import convert_sd_vae
+                from ldmseg_tpu.models.sd_weights import load_diffusers_state
+
+                state = load_diffusers_state(os.path.join(pm_path, "vae"))
+                if state is not None:
+                    sd_params = jax.tree_util.tree_map(
+                        jnp.asarray, convert_sd_vae(state)
+                    )
+                    print("Loaded SD VAE encoder for shared-encoder AE")
+            self.frozen = {"sd_vae": sd_params}
+            self.shared_encoder = (self.sd_vae, "sd_vae")
 
         # data
         t_train = get_train_transforms(p["transformation_kwargs"])
@@ -190,7 +227,8 @@ class TrainerAE:
         bs = batch_sharding(self.mesh)
         rs = replicated_sharding(self.mesh)
         self._train_step = jax.jit(
-            make_ae_train_step(self.model, self.tx, self.step_cfg),
+            make_ae_train_step(self.model, self.tx, self.step_cfg,
+                               external_encoder=self.shared_encoder),
             donate_argnums=(0,),
         )
         self._eval_forward = jax.jit(self._eval_forward_impl)
@@ -214,6 +252,20 @@ class TrainerAE:
 
     def _eval_forward_impl(self, params, images, rgbs):
         x = 2.0 * images - 1.0
+        if self.shared_encoder is not None:
+            sd_vae, key = self.shared_encoder
+            moments = sd_vae.apply(
+                {"params": self.frozen[key]}, x,
+                method=lambda m, a: m.encode_moments(a),
+            )
+            z, mode, kl = self.model.apply(
+                {"params": params}, moments, None, False,
+                method=lambda m, mo, r, sp: m.bottleneck(mo, r, sample_posterior=sp),
+            )
+            return self.model.apply(
+                {"params": params}, mode, False,
+                method=lambda m, a, interp: m.decode(a, interpolate=interp),
+            )
         rgb = 2.0 * rgbs - 1.0 if self.vae_cfg.fuse_rgb else None
         logits, z, kl = self.model.apply(
             {"params": params}, x, rng=None, sample_posterior=False,
@@ -227,14 +279,20 @@ class TrainerAE:
         for batch_idx, batch in enumerate(self.dl):
             db = self._device_batch(batch)
             self.state, metrics = self._train_step(
-                self.state, db, jax.random.PRNGKey(self.seed)
+                self.state, db, jax.random.PRNGKey(self.seed), self.frozen
             )
             if (batch_idx + 1) % self.accumulate == 0 or batch_idx + 1 == len(self.dl):
                 self.step += 1
+            self.profiler.step(self.step)
             if (batch_idx + 1) % self.print_freq == 0:
                 for name, meter in meters.items():
                     meter.update(float(metrics[name]), self.batch_size)
                 progress.display(batch_idx)
+                self.metrics_logger.log(
+                    {k: float(metrics[k]) for k in
+                     ("loss", "ce", "mask", "kl", "grad_norm")},
+                    step=self.step,
+                )
             if self.check_iter(batch_idx, epoch):
                 self.save_train_images(db, batch)
 

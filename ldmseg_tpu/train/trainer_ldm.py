@@ -53,6 +53,7 @@ from ldmseg_tpu.train.checkpoint import (
 from ldmseg_tpu.train.steps_ldm import LDMStepConfig, make_encode_fns, make_ldm_train_step
 from ldmseg_tpu.train.trainer_ae import build_seg_vae_config
 from ldmseg_tpu.utils.meters import AverageMeter, ProgressMeter
+from ldmseg_tpu.utils.metrics_logger import MetricsLogger, ProfilerHook
 from ldmseg_tpu.utils.visualize import (
     colorize_ids,
     make_row,
@@ -105,6 +106,12 @@ class TrainerDiffusion:
         os.makedirs(self.visualization_dir, exist_ok=True)
         self.seed = seed
         self.rng = jax.random.PRNGKey(seed)
+        self.metrics_logger = MetricsLogger(
+            results_folder, use_wandb=p.get("wandb", False), name=p.get("name")
+        )
+        self.profiler = ProfilerHook(
+            results_folder, enabled=p["train_kwargs"].get("profile", False)
+        )
         self.tokenizer = tokenizer
         self.text_encoder_fn = text_encoder_fn  # fn(tokens)->embeddings or None
 
@@ -405,9 +412,15 @@ class TrainerDiffusion:
             )
             if (batch_idx + 1) % self.accumulate == 0 or batch_idx + 1 == len(self.dl):
                 self.step += 1
+            self.profiler.step(self.step)
             if (batch_idx + 1) % self.print_freq == 0:
                 losses.update(float(metrics["loss"]), self.batch_size)
                 progress.display(batch_idx)
+                self.metrics_logger.log(
+                    {"loss": float(metrics["loss"]),
+                     "grad_norm": float(metrics["grad_norm"])},
+                    step=self.step,
+                )
             if self.check_iter(batch_idx, epoch) and jax.process_index() == 0:
                 self.log_images_train(batch, db)
 
@@ -498,6 +511,11 @@ class TrainerDiffusion:
                 break
 
         results = evaluator.evaluate()
+        if results is not None and jax.process_index() == 0:
+            self.metrics_logger.log(
+                {f"val/{k}": v for k, v in results["panoptic_seg"].items()},
+                step=self.step,
+            )
         if (
             results is not None and save_model and jax.process_index() == 0
             and results["panoptic_seg"]["PQ"] > self.best_pq

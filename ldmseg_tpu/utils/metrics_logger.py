@@ -1,0 +1,77 @@
+"""Metrics logging: JSONL always, wandb when installed and enabled.
+
+The reference logs to wandb on rank 0 (tools/main_ldm.py:120-121,
+trainers_ldm_cond.py:959-961); here every host-0 metric lands in
+``metrics.jsonl`` in the run dir (machine-readable for dashboards) and is
+forwarded to wandb if the package is importable and ``wandb: True``.
+Also exposes the jax.profiler trace hook (SURVEY §5: tracing absent in the
+reference; wired in from the start here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+
+class MetricsLogger:
+    def __init__(self, run_dir: str, use_wandb: bool = False,
+                 project: str = "ldmseg-tpu", name: Optional[str] = None):
+        import jax
+
+        self.enabled = jax.process_index() == 0
+        self.path = os.path.join(run_dir, "metrics.jsonl")
+        self._wandb = None
+        if self.enabled and use_wandb:
+            try:
+                import wandb
+
+                wandb.init(project=project, name=name)
+                self._wandb = wandb
+            except ImportError:
+                print("wandb requested but not installed; JSONL logging only")
+
+    def log(self, metrics: Dict[str, Any], step: Optional[int] = None) -> None:
+        if not self.enabled:
+            return
+        record = {"time": time.time()}
+        if step is not None:
+            record["step"] = step
+        record.update({k: float(v) if hasattr(v, "item") or isinstance(v, (int, float)) else v
+                       for k, v in metrics.items()})
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+
+    def finish(self):
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+class ProfilerHook:
+    """Capture a jax.profiler trace for steps [start, start+steps)."""
+
+    def __init__(self, run_dir: str, start: int = 10, steps: int = 5,
+                 enabled: bool = False):
+        self.dir = os.path.join(run_dir, "profile")
+        self.start = start
+        self.stop = start + steps
+        self.enabled = enabled
+        self._active = False
+
+    def step(self, step_idx: int) -> None:
+        if not self.enabled:
+            return
+        import jax
+
+        if step_idx == self.start and not self._active:
+            os.makedirs(self.dir, exist_ok=True)
+            jax.profiler.start_trace(self.dir)
+            self._active = True
+        elif step_idx >= self.stop and self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            print(f"Profiler trace written to {self.dir}")

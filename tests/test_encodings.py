@@ -81,7 +81,7 @@ def test_color_map_reference_values():
     np.testing.assert_array_equal(cmap[2], [0, 128, 0])
     np.testing.assert_array_equal(cmap[3], [128, 128, 0])
     np.testing.assert_array_equal(cmap[4], [0, 0, 128])
-    np.testing.assert_array_equal(cmap[21], [192, 128, 128])
+    np.testing.assert_array_equal(cmap[21], [128, 64, 128])
     norm = color_map(normalized=True)
     np.testing.assert_allclose(norm, cmap / 255.0)
 

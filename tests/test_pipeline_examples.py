@@ -1,0 +1,140 @@
+"""End-to-end pipeline tests on the bundled COCO example images
+(reference data/examples/coco/, 16 images; BASELINE config 1)."""
+
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldmseg_tpu.data.coco import COCOExamples
+from ldmseg_tpu.data.loader import DataLoader, collate
+from ldmseg_tpu.data.transforms import get_train_transforms, get_val_transforms
+from ldmseg_tpu.data.encodings import decode_bitmap
+from ldmseg_tpu.eval import PanopticEvaluator
+from ldmseg_tpu.eval.postprocess import postprocess_image
+
+REF_EXAMPLES = "/root/reference/data/examples/coco"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_EXAMPLES), reason="bundled examples unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def examples_root(tmp_path_factory):
+    """Copy the read-only examples so the GT json can be cached beside them."""
+    dst = tmp_path_factory.mktemp("examples")
+    shutil.copytree(REF_EXAMPLES, dst / "coco", dirs_exist_ok=True)
+    return str(dst / "coco")
+
+
+def test_examples_dataset_loads(examples_root):
+    tf = get_val_transforms({"type": "crop_resize_pil", "size": 64})
+    ds = COCOExamples(examples_root, transform=tf, remap_labels=True)
+    assert len(ds) == 16
+    s = ds[0]
+    assert s["image"].shape == (64, 64, 3)
+    assert s["image_semseg"].shape == (64, 64, 7)
+    assert s["semseg"].dtype == np.int32
+    assert s["semseg"].max() < 128
+    assert s["mask"].min() == 1
+    # bit encoding inverts back to the (remapped) ids on non-void pixels
+    dec = decode_bitmap(2 * s["image_semseg"] - 1)
+    nonvoid = s["semseg"] != 0
+    np.testing.assert_array_equal(dec[nonvoid], s["semseg"][nonvoid])
+
+
+def test_examples_loader_batches(examples_root):
+    tf = get_val_transforms({"type": "crop_resize_pil", "size": 64})
+    ds = COCOExamples(examples_root, transform=tf)
+    dl = DataLoader(ds, batch_size=4, shuffle=False, drop_last=False)
+    batches = list(dl)
+    assert len(batches) == 4
+    b = batches[0]
+    assert b["image"].shape == (4, 64, 64, 3)
+    assert b["image_semseg"].shape == (4, 64, 64, 7)
+    assert len(b["meta"]) == 4
+    assert all(m["im_size"][0] > 0 for m in b["meta"])
+
+
+def test_examples_loader_host_sharding(examples_root):
+    tf = get_val_transforms({"type": "crop_resize_pil", "size": 64})
+    ds = COCOExamples(examples_root, transform=tf)
+    seen = []
+    for rank in range(2):
+        dl = DataLoader(ds, batch_size=4, shuffle=True, seed=3,
+                        process_index=rank, process_count=2)
+        for b in dl:
+            seen.extend(m["image_id"] for m in b["meta"])
+    assert len(seen) == 16
+    assert len(set(seen)) == 16  # disjoint shards cover everything
+
+
+def test_gt_roundtrip_pq_is_100(examples_root):
+    """Feeding the (id-decoded) GT panoptic maps as predictions -> PQ 100."""
+    ds = COCOExamples(examples_root, transform=None)
+    evaluator = PanopticEvaluator(ds.meta_data, class_agnostic=True)
+    from PIL import Image
+
+    from ldmseg_tpu.eval.panoptic import rgb2id
+
+    for i in range(4):
+        pan = rgb2id(np.array(Image.open(ds.semsegs[i]).convert("RGB")))
+        segs = [{"id": int(v), "category_id": 1, "isthing": True}
+                for v in np.unique(pan) if v != 0]
+        evaluator.process(
+            [ds.images[i]], [int(os.path.basename(ds.images[i]).split(".")[0])],
+            [{"panoptic_seg": (pan.astype(np.uint32), segs)}],
+        )
+    res = evaluator.evaluate()
+    assert res["panoptic_seg"]["PQ"] == pytest.approx(100.0)
+
+
+def test_ae_roundtrip_pipeline(examples_root):
+    """Dataset -> tiny AE forward -> postprocess -> PQ evaluator end-to-end.
+
+    With an untrained AE the PQ is ~0; the test asserts the plumbing
+    (shapes, evaluator, postprocessing at original sizes) is sound.
+    """
+    from ldmseg_tpu.models import SegVAE, SegVAEConfig
+
+    tf = get_val_transforms({"type": "crop_resize_pil", "size": 64})
+    ds = COCOExamples(examples_root, transform=tf, remap_labels=True)
+    dl = DataLoader(ds, batch_size=4, shuffle=False, drop_last=False)
+
+    cfg = SegVAEConfig(
+        in_channels=7, int_channels=16, out_channels=128,
+        block_out_channels=(8, 8, 8, 16), latent_channels=4,
+        norm_num_groups=8, num_upscalers=2, upscale_channels=16,
+    )
+    model = SegVAE(cfg)
+    batch = next(iter(dl))
+    x = 2.0 * jnp.asarray(batch["image_semseg"]) - 1.0
+    params = model.init({"params": jax.random.PRNGKey(0)}, x,
+                        rng=jax.random.PRNGKey(1))
+
+    evaluator = PanopticEvaluator(ds.meta_data, class_agnostic=True)
+    logits, z, kl = model.apply(params, x, rng=jax.random.PRNGKey(2))
+    assert z.shape == (4, 8, 8, 4)
+    assert logits.shape == (4, 32, 32, 128)
+    full = jax.image.resize(logits, (4, 64, 64, 128), "bilinear")
+    outputs = []
+    for i in range(4):
+        pan, segs = postprocess_image(
+            np.asarray(full[i]), np.asarray(batch["mask"][i]),
+            batch["meta"][i]["im_size"], mask_th=0.5, count_th=64,
+            overlap_th=0.5,
+        )
+        assert pan.shape == tuple(batch["meta"][i]["im_size"])
+        outputs.append({"panoptic_seg": (pan, segs)})
+    evaluator.process(
+        [m["image_file"] for m in batch["meta"]],
+        [m["image_id"] for m in batch["meta"]],
+        outputs,
+    )
+    res = evaluator.evaluate()
+    assert "PQ" in res["panoptic_seg"]
+    assert 0.0 <= res["panoptic_seg"]["PQ"] <= 100.0

@@ -135,7 +135,7 @@ def test_pq_void_and_crowd_handling():
     cats = {1: {"id": 1, "isthing": 1}}
     # prediction mostly over void -> not an FP
     gt = np.zeros((10, 10), np.uint32)  # all void
-    gt[0, 0] = 5
+    gt[9, 9] = 5  # tiny gt outside the prediction
     segs_gt = [{"id": 5, "category_id": 1, "iscrowd": 0}]
     pred = np.zeros((10, 10), np.uint32)
     pred[:5] = 7
