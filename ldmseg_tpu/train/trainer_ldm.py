@@ -117,6 +117,11 @@ class TrainerDiffusion:
 
         tk, ek, sk = p["train_kwargs"], p["eval_kwargs"], p["sampling_kwargs"]
         self.batch_size = tk["batch_size"]
+        n_dev = self.mesh.devices.size
+        assert self.batch_size % n_dev == 0, (
+            f"batch_size {self.batch_size} must be divisible by the mesh "
+            f"size {n_dev} (shard the batch over data x fsdp axes)"
+        )
         self.batch_size_val = min(ek.get("batch_size", self.batch_size),
                                   self.batch_size)
         self.accumulate = tk.get("accumulate", 1)
@@ -370,7 +375,7 @@ class TrainerDiffusion:
         logits = self._decode_jit(self.frozen["seg_vae"], latents)
         if return_logits:
             return logits
-        pred = np.asarray(jnp.argmax(logits, axis=-1))
+        pred = np.array(jnp.argmax(logits, axis=-1))  # writable copy
         if threshold_output:
             probs = np.asarray(jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1))
             pred[probs < self.mask_th] = self.ignore_label

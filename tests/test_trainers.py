@@ -1,0 +1,194 @@
+"""Trainer-level integration tests (tiny configs, bundled examples, CPU)."""
+
+import os
+import shutil
+
+import jax
+import numpy as np
+import pytest
+
+from ldmseg_tpu.core.mesh import MeshSpec, make_mesh
+from ldmseg_tpu.data.coco import COCOExamples
+from ldmseg_tpu.data.transforms import get_train_transforms, get_val_transforms
+from ldmseg_tpu.models.unet import tiny_unet_config
+from ldmseg_tpu.models.vae_sd import SDVAEConfig
+
+REF_EXAMPLES = "/root/reference/data/examples/coco"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_EXAMPLES), reason="bundled examples unavailable"
+)
+
+
+def tiny_config(tmp_path, size=64):
+    return {
+        "name": "test",
+        "wandb": False,
+        "eval_only": False,
+        "load_path": None,
+        "pretrained_model_path": None,
+        "image_scaling_factor": 0.18215,
+        "shared_vae_encoder": False,
+        "vae_model_kwargs": {
+            "in_channels": 7, "int_channels": 16, "out_channels": 128,
+            "block_out_channels": [8, 8, 8, 16], "latent_channels": 4,
+            "num_latents": 2, "num_upscalers": 2, "upscale_channels": 16,
+            "norm_num_groups": 8, "scaling_factor": 0.18215,
+            "parametrization": "gaussian", "act_fn": "none",
+            "clamp_output": False, "freeze_codebook": False,
+            "num_mid_blocks": 0, "fuse_rgb": False, "resize_input": False,
+            "skip_encoder": False, "pretrained_path": None,
+        },
+        "model_kwargs": {
+            "in_channels": 8, "init_mode_seg": "copy",
+            "init_mode_image": "zero", "cond_channels": 4,
+            "separate_conv": False, "separate_encoder": False,
+            "add_adaptor": False,
+        },
+        "noise_scheduler_kwargs": {
+            "prediction_type": "epsilon", "beta_schedule": "scaled_linear",
+            "num_train_timesteps": 100, "beta_start": 0.00085,
+            "beta_end": 0.012, "clip_sample": False,
+            "set_alpha_to_one": False, "weight": "max_clamp_snr",
+            "max_snr": 2.0,
+        },
+        "train_kwargs": {
+            "dropout": 0.0, "inpaint_mask_size": [8, 8],
+            "type_mask": "ignore", "latent_mask": False,
+            "encoding_mode": "bits", "image_descriptors": "remove",
+            "caption_type": "none", "caption_dropout": 1.0,
+            "prob_train_on_pred": 0.0, "prob_inpainting": 0.0,
+            "min_noise_level": 0, "rgb_noise_level": 0,
+            "cond_noise_level": 0, "self_condition": True,
+            "sample_posterior": False, "sample_posterior_rgb": False,
+            "remap_seg": True, "train_num_steps": 4, "batch_size": 4,
+            "accumulate": 1, "num_workers": 0, "loss": "l2",
+            "ohem_ratio": 1.0, "clip_grad": 1.0, "weight_dtype": "float32",
+            "freeze_layers": ["time_embedding"],
+        },
+        "loss_weights": {"mask": 1.0, "ce": 1.0, "kl": 1e-6},
+        "loss_kwargs": {
+            "num_points": 64, "oversample_ratio": 3,
+            "importance_sample_ratio": 0.75,
+        },
+        "sampling_kwargs": {"num_inference_steps": 2, "guidance_scale": 7.5,
+                            "seed": 0},
+        "eval_kwargs": {"mask_th": 0.5, "count_th": 16, "overlap_th": 0.5,
+                        "batch_size": 4, "num_workers": 0, "vis_every": 1000,
+                        "print_freq": 2},
+        "optimizer_name": "adamw",
+        "optimizer_kwargs": {"lr": 1e-4, "betas": [0.9, 0.999],
+                             "weight_decay": 0.0, "weight_decay_norm": 0.0},
+        "optimizer_backbone_multiplier": 1.0,
+        "optimizer_save_optim": False,
+        "ema_on": False,
+        "ema_kwargs": {"decay": 0.999},
+        "lr_scheduler_name": "warmup",
+        "lr_scheduler_kwargs": {"final_lr": 0.0, "warmup_iters": 2},
+        "transformation_kwargs": {
+            "type": "crop_resize_pil", "size": size, "size_rgb": size,
+            "max_size": size, "flip": True, "normalize": False,
+            "normalize_params": {"mean": [0.485, 0.456, 0.406],
+                                 "std": [0.229, 0.224, 0.225]},
+        },
+        "train_db_name": "examples", "val_db_name": "examples",
+        "split": "train", "num_classes": 128, "num_bits": 7,
+        "has_bg": False, "ignore_label": 0, "fill_value": 0.5,
+        "inpainting_strength": 0.0, "data_dir": str(tmp_path),
+    }
+
+
+@pytest.fixture(scope="module")
+def examples_root(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("ex")
+    shutil.copytree(REF_EXAMPLES, dst / "coco", dirs_exist_ok=True)
+    return str(dst / "coco")
+
+
+def _datasets(examples_root, p):
+    tf_t = get_train_transforms(p["transformation_kwargs"])
+    tf_v = get_val_transforms(p["transformation_kwargs"])
+    kw = dict(num_classes=128, fill_value=0.5, ignore_label=0)
+    return (
+        COCOExamples(examples_root, transform=tf_t, split="train", **kw),
+        COCOExamples(examples_root, transform=tf_v, split="val", **kw),
+    )
+
+
+def test_trainer_diffusion_smoke(tmp_path, examples_root):
+    """TrainerDiffusion: init from scratch, train a few steps, sample + PQ."""
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+
+    p = tiny_config(tmp_path)
+    ds_t, ds_v = _datasets(examples_root, p)
+    mesh = make_mesh(MeshSpec(data=4, fsdp=1), devices=jax.devices()[:4])
+    trainer = TrainerDiffusion(
+        p, mesh=mesh, results_folder=str(tmp_path / "run"),
+        dataset_train=ds_t, dataset_val=ds_v,
+        unet_cfg=tiny_unet_config(in_channels=8, cond_channels=4),
+        sd_vae_cfg=SDVAEConfig(block_out_channels=(8, 8, 8, 8),
+                               layers_per_block=1, norm_num_groups=4,
+                               dtype="float32"),
+    )
+    # a couple of optimizer steps
+    from ldmseg_tpu.utils.meters import AverageMeter, ProgressMeter
+
+    losses = AverageMeter("Loss", ":.4e")
+    progress = ProgressMeter(len(trainer.dl), [losses], prefix="t")
+    trainer.train_single_epoch(0, losses, progress)
+    assert trainer.step == len(trainer.dl)
+    assert losses.avg > 0 and np.isfinite(losses.avg)
+
+    # generative eval: 2-step DDIM -> decode -> postprocess -> PQ
+    res = trainer.compute_pq(num_inference_steps=2, max_iter=0,
+                             save_images=True)
+    assert "PQ" in res["panoptic_seg"]
+    assert os.path.exists(
+        os.path.join(trainer.visualization_dir, "overview.png")
+    )
+
+    # checkpoint save + resume round trip
+    trainer.save(epoch=0)
+    step_before = int(trainer.state.step)
+    trainer.resume(load_vae=True)
+    assert trainer.start_epoch == 1
+
+    # visualization studies
+    trainer.visualize_noise_schedule()
+    assert os.path.exists(
+        os.path.join(trainer.visualization_dir, "noise_schedule.jpg")
+    )
+    trainer.visualize_noise(nrows=1, num_inference_steps=2)
+    assert os.path.exists(
+        os.path.join(trainer.visualization_dir, "noise_queries.jpg")
+    )
+
+
+def test_trainer_diffusion_inpainting_sampler(tmp_path, examples_root):
+    """Inpainting inference: known latents pasted through the mask."""
+    import jax.numpy as jnp
+
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+
+    p = tiny_config(tmp_path)
+    ds_t, ds_v = _datasets(examples_root, p)
+    mesh = make_mesh(MeshSpec(data=4, fsdp=1), devices=jax.devices()[:4])
+    trainer = TrainerDiffusion(
+        p, mesh=mesh, results_folder=str(tmp_path / "run2"),
+        dataset_train=ds_t, dataset_val=ds_v,
+        unet_cfg=tiny_unet_config(in_channels=8, cond_channels=4),
+        sd_vae_cfg=SDVAEConfig(block_out_channels=(8, 8, 8, 8),
+                               layers_per_block=1, norm_num_groups=4,
+                               dtype="float32"),
+    )
+    lat = trainer.latent_size
+    rgb_latents = jnp.ones((2, lat, lat, 4))
+    known = jnp.full((2, lat, lat, 4), 0.5)
+    mask = jnp.zeros((2, lat, lat)).at[:, : lat // 2].set(1)
+    out = trainer.sample(
+        rgb_latents, num_inference_steps=2,
+        inpaint_mask=mask, known_latents=known,
+    )
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[:, : lat // 2], 0.5, atol=1e-5)
+    assert np.abs(out[:, lat // 2:] - 0.5).max() > 1e-3
