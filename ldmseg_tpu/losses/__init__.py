@@ -1,5 +1,7 @@
 from .point_losses import (
     SegLossConfig,
+    hungarian_match,
+    matched_segmentation_loss,
     point_sample,
     uncertain_point_coords,
     segmentation_point_loss,
@@ -10,4 +12,6 @@ __all__ = [
     "point_sample",
     "uncertain_point_coords",
     "segmentation_point_loss",
+    "hungarian_match",
+    "matched_segmentation_loss",
 ]

@@ -269,3 +269,137 @@ def segmentation_point_loss(
         "ce": loss_ce(logits, targets, k1, cfg, valid_region=valid_region),
         "mask": loss_masks(logits, targets, k2, cfg),
     }
+
+
+def hungarian_match(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    rng: jax.Array,
+    cfg: SegLossConfig,
+    num_match_points: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Mask2Former-style Hungarian matching (losses.py:44-101; off by default).
+
+    Treats every logit channel as a query. Cost = BCE + Dice between
+    point-sampled query logits and GT instance masks at a shared random
+    point set; assignment solved per image via scipy on the host
+    (jax.pure_callback), mirroring the reference's
+    scipy.linear_sum_assignment (SURVEY §2.9 native-accounting row).
+
+    Returns (slot_ids [B,K] gt instance ids, slot_valid [B,K],
+    assigned_query [B,K] matched logit channel per slot).
+    """
+    from functools import partial
+
+    slot_ids, slot_valid = build_mask_slots(targets, cfg)
+    b, k = slot_ids.shape
+    q = logits.shape[-1]
+
+    coords = jax.random.uniform(rng, (b, num_match_points, 2))
+    point_logits = point_sample(logits, coords)              # [B, P, Q]
+    # gt soft labels per slot at the same shared points
+    coords_k = jnp.broadcast_to(coords[:, None], (b, k, num_match_points, 2))
+    point_labels = _sample_binary_target(targets, coords_k, slot_ids)  # [B,K,P]
+
+    pl = point_logits.transpose(0, 2, 1)                      # [B, Q, P]
+    # bce cost: mean over points of bce(query_logit, slot_label) (losses.py:249-277)
+    pos = jnp.maximum(pl, 0) - pl + jnp.log1p(jnp.exp(-jnp.abs(pl)))
+    neg = jnp.maximum(pl, 0) + jnp.log1p(jnp.exp(-jnp.abs(pl)))
+    cost_bce = (
+        jnp.einsum("bqp,bkp->bqk", pos, point_labels)
+        + jnp.einsum("bqp,bkp->bqk", neg, 1.0 - point_labels)
+    ) / num_match_points
+    probs = jax.nn.sigmoid(pl)
+    numer = 2.0 * jnp.einsum("bqp,bkp->bqk", probs, point_labels)
+    denom = probs.sum(-1)[:, :, None] + point_labels.sum(-1)[:, None, :]
+    cost_dice = 1.0 - (numer + 1.0) / (denom + 1.0)
+    cost = cfg.cost_mask * (cost_bce + cost_dice)             # [B, Q, K]
+    # invalid slots get a huge cost so they never displace real matches
+    cost = jnp.where(slot_valid[:, None, :], cost, 1e6)
+
+    assigned = _solve_assignment(jax.lax.stop_gradient(cost)).astype(jnp.int32)
+    return slot_ids, slot_valid, assigned
+
+
+@jax.custom_jvp
+def _solve_assignment(cost: jnp.ndarray) -> jnp.ndarray:
+    """Host-side scipy linear_sum_assignment; discrete, zero tangent."""
+    b, q, k = cost.shape
+
+    def solve(c):
+        import numpy as _np
+        from scipy.optimize import linear_sum_assignment
+
+        out = _np.zeros((c.shape[0], c.shape[2]), dtype=_np.float32)
+        for i in range(c.shape[0]):
+            rows, cols = linear_sum_assignment(c[i])
+            out[i, cols] = rows.astype(_np.float32)
+        return out
+
+    return jax.pure_callback(
+        solve, jax.ShapeDtypeStruct((b, k), jnp.float32), cost,
+        vmap_method="sequential",
+    )
+
+
+@_solve_assignment.defjvp
+def _solve_assignment_jvp(primals, tangents):
+    (cost,) = primals
+    out = _solve_assignment(cost)
+    return out, jnp.zeros_like(out)
+
+
+def matched_segmentation_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    rng: jax.Array,
+    cfg: SegLossConfig,
+) -> Dict[str, jnp.ndarray]:
+    """point_loss(do_matching=True) equivalent (losses.py:364-394).
+
+    After matching, the CE targets are rebuilt so each pixel's label is its
+    instance's matched query channel (losses.py:311-323), and the mask loss
+    samples the matched channels.
+    """
+    k_match, k_ce, k_mask = jax.random.split(rng, 3)
+    slot_ids, slot_valid, assigned = hungarian_match(logits, targets, k_match, cfg)
+    b, k = slot_ids.shape
+
+    # remap targets: gt id -> matched query id; unmatched/void -> ignore
+    lookup = jnp.full((b, cfg.num_classes), cfg.ignore_label, jnp.int32)
+    batch_idx = jnp.arange(b)[:, None]
+    safe_ids = jnp.where(slot_valid, slot_ids, 0)
+    lookup = lookup.at[batch_idx, safe_ids].set(
+        jnp.where(slot_valid, assigned, cfg.ignore_label)
+    )
+    remapped = jnp.take_along_axis(
+        lookup, targets.reshape(b, -1), axis=-1
+    ).reshape(targets.shape)
+
+    ce = loss_ce(logits, remapped, k_ce, cfg)
+
+    # mask loss over the matched query channels
+    coords = (
+        uncertain_point_coords(
+            k_mask,
+            lambda c: -jnp.abs(_sample_channel(logits, c, assigned)),
+            (b, k), cfg.num_points, cfg.oversample_ratio,
+            cfg.importance_sample_ratio,
+        )
+        if cfg.oversample_ratio > 0
+        else jax.random.uniform(k_mask, (b, k, cfg.num_points, 2))
+    )
+    point_logits = _sample_channel(logits, coords, assigned)
+    point_labels = _sample_binary_target(targets, coords, slot_ids)
+    num_masks = jnp.maximum(jnp.sum(slot_valid), 1.0)
+    validf = slot_valid.astype(jnp.float32)
+    bce = jnp.mean(
+        jnp.maximum(point_logits, 0) - point_logits * point_labels
+        + jnp.log1p(jnp.exp(-jnp.abs(point_logits))), axis=-1,
+    )
+    probs = jax.nn.sigmoid(point_logits)
+    numer = 2.0 * jnp.sum(probs * point_labels, axis=-1)
+    denom = jnp.sum(probs, axis=-1) + jnp.sum(point_labels, axis=-1)
+    dice = 1.0 - (numer + 1.0) / (denom + 1.0)
+    mask = (jnp.sum(bce * validf) + jnp.sum(dice * validf)) / num_masks
+    return {"ce": ce, "mask": mask}

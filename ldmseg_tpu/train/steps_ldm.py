@@ -144,6 +144,9 @@ def make_ldm_train_step(
     tx: optax.GradientTransformation,
     cfg: LDMStepConfig,
 ) -> Callable:
+    # the reference trains with epsilon or sample prediction only
+    # (trainers_ldm_cond.py:585-590); v_prediction is inference-only
+    assert sched.prediction_type in ("epsilon", "sample"), sched.prediction_type
     encode_seg, encode_rgb = make_encode_fns(seg_vae, sd_vae, cfg)
 
     def unet_apply(params, inputs, t, context, dropout_rng=None):

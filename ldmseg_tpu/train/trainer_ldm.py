@@ -436,7 +436,8 @@ class TrainerDiffusion:
             num_inference_steps=self.num_inference_steps,
         )
         print("Evaluating ...")
-        evaluation(max_iter=self.p["eval_kwargs"].get("initial_eval_iters", 2))
+        # full initial eval by default (parity); cap via initial_eval_iters
+        evaluation(max_iter=self.p["eval_kwargs"].get("initial_eval_iters"))
         start = time.time()
         for epoch in range(self.start_epoch, self.epochs):
             print(f"Starting epoch {epoch}")
