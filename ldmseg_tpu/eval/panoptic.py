@@ -257,14 +257,18 @@ class PanopticEvaluator:
             from jax.experimental import multihost_utils
             import pickle
 
-            blob = pickle.dumps(preds)
-            gathered = multihost_utils.process_allgather(
-                np.frombuffer(blob, dtype=np.uint8)
-            )
-            # note: variable-size gather handled via per-host pickle framing
+            blob = np.frombuffer(pickle.dumps(preds), dtype=np.uint8)
+            # allgather requires equal shapes: gather lengths, pad to max
+            lengths = multihost_utils.process_allgather(
+                np.asarray([blob.size], dtype=np.int64)
+            ).reshape(-1)
+            max_len = int(lengths.max())
+            padded = np.zeros(max_len, dtype=np.uint8)
+            padded[: blob.size] = blob
+            gathered = multihost_utils.process_allgather(padded)
             preds = []
-            for item in gathered:
-                preds.extend(pickle.loads(item.tobytes()))
+            for row, n in zip(np.asarray(gathered).reshape(-1, max_len), lengths):
+                preds.extend(pickle.loads(row[: int(n)].tobytes()))
 
         stat = PQStat()
         n_preds = 0

@@ -16,7 +16,11 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ldmseg_tpu.losses import SegLossConfig, segmentation_point_loss
+from ldmseg_tpu.losses import (
+    SegLossConfig,
+    matched_segmentation_loss,
+    segmentation_point_loss,
+)
 from ldmseg_tpu.models.vae_seg import SegVAE
 from ldmseg_tpu.utils.image import nearest_resize_torch
 from .train_state import TrainState
@@ -34,6 +38,7 @@ class AEStepConfig:
     sample_posterior: bool = True
     ignore_label: int = 0
     downsample_factor: int = 8
+    do_matching: bool = False  # Hungarian matcher variant (losses.py:364-394)
 
 
 def make_ae_train_step(
@@ -104,9 +109,12 @@ def make_ae_train_step(
                 rgb_sample=rgbs,
                 valid_mask=latent_mask,
             )
-        losses = segmentation_point_loss(
-            logits, targets, r_loss, cfg.loss_cfg, valid_region=valid_region
-        )
+        if cfg.do_matching:
+            losses = matched_segmentation_loss(logits, targets, r_loss, cfg.loss_cfg)
+        else:
+            losses = segmentation_point_loss(
+                logits, targets, r_loss, cfg.loss_cfg, valid_region=valid_region
+            )
         losses["kl"] = jnp.mean(kl)
         total = (
             cfg.w_ce * losses["ce"]

@@ -224,6 +224,7 @@ class TrainerAE:
             w_mask=p["loss_weights"]["mask"],
             w_kl=p["loss_weights"]["kl"],
             prob_inpainting=tk.get("prob_inpainting", 0.0),
+            do_matching=p.get("loss_kwargs", {}).get("do_matching", False),
             latent_mask=tk.get("latent_mask", False),
             fuse_rgb=self.vae_cfg.fuse_rgb,
             ignore_label=self.ignore_label,
