@@ -60,23 +60,26 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, n
         m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0].astype(jnp.float32)  # [bq, d]
-    k = k_ref[0].astype(jnp.float32)  # [bk, d]
-    v = v_ref[0].astype(jnp.float32)  # [bk, d]
+    # keep inputs in their native dtype (bf16 matmuls run the MXU at full
+    # rate); accumulate in fp32 via preferred_element_type
+    q = q_ref[0]  # [bq, d]
+    k = k_ref[0]  # [bk, d]
+    v = v_ref[0]  # [bk, d]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, bk]
+    ) * scale  # [bq, bk] fp32
 
     m_prev = m_ref[:, :1]                      # [bq, 1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)                     # [bq, bk]
+    p = jnp.exp(s - m_new)                     # [bq, bk] fp32
     alpha = jnp.exp(m_prev - m_new)            # [bq, 1]
     l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
 
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
@@ -180,15 +183,18 @@ def multi_head_attention(
 ) -> jnp.ndarray:
     """Dispatch: Pallas flash attention on TPU, jnp reference elsewhere.
 
-    Env override LDMSEG_ATTENTION={auto,flash,reference}.
+    Env overrides: LDMSEG_ATTENTION={auto,flash,reference},
+    LDMSEG_FLASH_BLOCK_Q / LDMSEG_FLASH_BLOCK_K (default 512).
     """
+    bq = int(os.environ.get("LDMSEG_FLASH_BLOCK_Q", "512"))
+    bk = int(os.environ.get("LDMSEG_FLASH_BLOCK_K", "512"))
     sq, sk = q.shape[1], k.shape[1]
     flash_ok = (
         _use_flash()
-        and sq % min(512, sq) == 0
-        and sk % min(512, sk) == 0
+        and sq % min(bq, sq) == 0
+        and sk % min(bk, sk) == 0
         and sq >= 128  # tiny grids aren't worth a kernel launch
     )
     if flash_ok:
-        return flash_attention(q, k, v, scale)
+        return flash_attention(q, k, v, scale, bq, bk)
     return mha_reference(q, k, v, scale)

@@ -314,7 +314,12 @@ class Upsample2D(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return Conv2d(self.features, 3, dtype=self.dtype, name="conv")(x)
+        # nn.Conv directly (like Downsample2D) so the param path is
+        # upsamplers_0/conv/kernel, matching the converter layout
+        return nn.Conv(
+            self.features, kernel_size=(3, 3), padding=[(1, 1), (1, 1)],
+            dtype=self.dtype, name="conv",
+        )(x)
 
 
 class VAEAttention(nn.Module):
