@@ -144,8 +144,8 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: Optional[float] = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 2048,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     scale = (q.shape[-1] ** -0.5) if scale is None else scale
@@ -186,8 +186,16 @@ def multi_head_attention(
     Env overrides: LDMSEG_ATTENTION={auto,flash,reference},
     LDMSEG_FLASH_BLOCK_Q / LDMSEG_FLASH_BLOCK_K (default 512).
     """
-    bq = int(os.environ.get("LDMSEG_FLASH_BLOCK_Q", "512"))
-    bk = int(os.environ.get("LDMSEG_FLASH_BLOCK_K", "512"))
+    # defaults from the TPU v5e block sweep (BENCHMARKS.md): q=2048, k=1024
+    # is ~30% faster than 512x512 on the 4096-token latent grids
+    bq = int(os.environ.get("LDMSEG_FLASH_BLOCK_Q", "2048"))
+    bk = int(os.environ.get("LDMSEG_FLASH_BLOCK_K", "1024"))
+    # VMEM guard: the fp32 S block + bf16 P must fit comfortably (~16MB/core);
+    # shrink block_k first (block_q gave the smaller win in the sweep)
+    while bq * bk * 6 > 12 * 2 ** 20 and bk > 512:
+        bk //= 2
+    while bq * bk * 6 > 12 * 2 ** 20 and bq > 512:
+        bq //= 2
     sq, sk = q.shape[1], k.shape[1]
     flash_ok = (
         _use_flash()

@@ -1,0 +1,98 @@
+"""IO tests: diffusers-layout weight loading, loader prefetch, checkpoints."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ldmseg_tpu.data.loader import DataLoader, collate
+from ldmseg_tpu.models.sd_weights import load_diffusers_state
+
+
+def test_load_diffusers_state_safetensors(tmp_path):
+    from safetensors.numpy import save_file
+
+    d = tmp_path / "unet"
+    d.mkdir()
+    state = {
+        "conv_in.weight": np.random.rand(8, 4, 3, 3).astype(np.float32),
+        "conv_in.bias": np.random.rand(8).astype(np.float32),
+    }
+    save_file(state, str(d / "diffusion_pytorch_model.safetensors"))
+    loaded = load_diffusers_state(str(d))
+    assert set(loaded) == set(state)
+    np.testing.assert_array_equal(loaded["conv_in.weight"], state["conv_in.weight"])
+
+
+def test_load_diffusers_state_missing_dir(tmp_path):
+    assert load_diffusers_state(str(tmp_path / "nope")) is None
+
+
+def test_load_diffusers_state_torch_bin(tmp_path):
+    import torch
+
+    d = tmp_path / "vae"
+    d.mkdir()
+    torch.save({"encoder.conv_in.weight": torch.randn(4, 3, 3, 3)},
+               str(d / "diffusion_pytorch_model.bin"))
+    loaded = load_diffusers_state(str(d))
+    assert loaded["encoder.conv_in.weight"].shape == (4, 3, 3, 3)
+    assert loaded["encoder.conv_in.weight"].dtype == np.float32
+
+
+class _ToyDataset:
+    def __init__(self, n=10):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {
+            "image": np.full((4, 4, 3), i, np.float32),
+            "semseg": np.full((4, 4), i, np.int32),
+            "image_semseg": np.full((4, 4, 7), i, np.float32),
+            "meta": {"image_id": i},
+            "text": f"t{i}",
+        }
+
+
+def test_loader_threaded_prefetch_matches_sync():
+    ds = _ToyDataset(10)
+    sync = list(DataLoader(ds, 2, shuffle=True, seed=5, num_threads=0))
+    thr = list(DataLoader(ds, 2, shuffle=True, seed=5, num_threads=1))
+    assert len(sync) == len(thr) == 5
+    for a, b in zip(sync, thr):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        assert a["text"] == b["text"]
+
+
+def test_loader_partial_batch_padding():
+    ds = _ToyDataset(5)
+    dl = DataLoader(ds, 2, shuffle=False, drop_last=False)
+    batches = list(dl)
+    assert len(batches) == 3
+    # final batch repeat-padded to keep shapes static
+    assert batches[-1]["image"].shape == (2, 4, 4, 3)
+    np.testing.assert_array_equal(batches[-1]["image"][1], batches[-1]["image"][0])
+
+
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from ldmseg_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    payload = {
+        "step": 7,
+        "params": {"layer": {"kernel": jnp.ones((2, 3)), "bias": jnp.zeros(3)}},
+    }
+    save_checkpoint(str(tmp_path), payload)
+    out = restore_checkpoint(str(tmp_path))
+    assert int(out["step"]) == 7
+    np.testing.assert_array_equal(np.asarray(out["params"]["layer"]["kernel"]),
+                                  np.ones((2, 3)))
+    # overwrite works (orbax refuses by default; we swap atomically)
+    payload["step"] = 8
+    save_checkpoint(str(tmp_path), payload)
+    assert int(restore_checkpoint(str(tmp_path))["step"]) == 8
+    assert restore_checkpoint(str(tmp_path), name="missing") is None

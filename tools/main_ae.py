@@ -40,7 +40,11 @@ def main(argv=None):
     dist = cfg.get("distributed", {})
     if dist.get("multihost"):
         jax.distributed.initialize()
-    mesh = make_mesh(MeshSpec(**dist.get("mesh", {})))
+    if cfg.get("debug"):
+        # debug mode: single device, no data workers (main_ldm.py:53-58)
+        mesh = make_mesh(MeshSpec(data=1, fsdp=1), devices=jax.devices()[:1])
+    else:
+        mesh = make_mesh(MeshSpec(**dist.get("mesh", {})))
 
     if jax.process_index() == 0:
         sys.stdout = Logger(os.path.join(p["output_dir"],
