@@ -19,6 +19,20 @@ import os
 import sys
 import time
 
+
+def _compile_with_retry(thunk, attempts=4, wait_s=90):
+    """The tunneled compile service intermittently 500s on large programs;
+    retry with backoff before giving up."""
+    for i in range(attempts):
+        try:
+            return thunk()
+        except Exception as e:
+            if i == attempts - 1:
+                raise
+            print(f"# compile attempt {i} failed ({type(e).__name__}); "
+                  f"retrying in {wait_s}s", file=sys.stderr)
+            time.sleep(wait_s)
+
 H100_ESTIMATE_IMG_PER_S = 2.0
 TARGET = 4.0 * H100_ESTIMATE_IMG_PER_S
 
@@ -36,6 +50,9 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "512"))
+    # BENCH_INPAINT=<strength in (0,1]>: mask-inpainting variant
+    # (BASELINE config 4) — known latents pasted through a random mask
+    inpaint = float(os.environ.get("BENCH_INPAINT", "0"))
     latent = image_size // 8
 
     unet_cfg = UNetConfig(in_channels=8, cond_channels=4, out_channels=4,
@@ -72,9 +89,18 @@ def main():
         def denoise(inputs, t, ctx):
             return unet.apply({"params": params["unet"]}, inputs, t, ctx)
 
+        inpaint_kw = {}
+        if inpaint > 0:
+            k_m, k_l = jax.random.split(jax.random.PRNGKey(123))
+            inpaint_kw = dict(
+                inpaint_mask=(
+                    jax.random.uniform(k_m, rgb_lat.shape[:3]) < inpaint
+                ).astype(jnp.float32),
+                known_latents=jax.random.normal(k_l, rgb_lat.shape),
+            )
         latents = ddim_sample(
             denoise, sched, rng, rgb_lat,
-            num_inference_steps=steps, self_condition=True,
+            num_inference_steps=steps, self_condition=True, **inpaint_kw,
         )
         logits = seg_vae.apply(
             {"params": params["seg"]}, latents / seg_cfg.scaling_factor, True,
@@ -90,9 +116,47 @@ def main():
     fn = jax.jit(pipeline, donate_argnums=())
     rgb = jax.random.uniform(k4, (batch, image_size, image_size, 3))
 
-    # compile + warmup
-    out = fn(params, rgb, jax.random.PRNGKey(1))
-    out.block_until_ready()
+    # compile + warmup; if the fused program fails to compile (the tunneled
+    # compile service rejects very large programs intermittently), fall back
+    # to three smaller jits — throughput is scan-dominated either way
+    try:
+        out = _compile_with_retry(lambda: fn(params, rgb, jax.random.PRNGKey(1)))
+        out.block_until_ready()
+    except Exception as e:
+        print(f"# fused compile failed ({type(e).__name__}); split fallback",
+              file=sys.stderr)
+
+        def encode_fn(params, rgb01):
+            x = 2.0 * rgb01 - 1.0
+            _, lat, _ = sd_vae.apply(
+                {"params": params["sd"]}, x, None, False,
+                method=lambda m, a, r, sp: m.encode(a, r, sample_posterior=sp),
+            )
+            return lat * 0.18215
+
+        def scan_fn(params, rgb_lat, rng):
+            def denoise(inputs, t, ctx):
+                return unet.apply({"params": params["unet"]}, inputs, t, ctx)
+
+            return ddim_sample(denoise, sched, rng, rgb_lat,
+                               num_inference_steps=steps, self_condition=True)
+
+        def decode_fn(params, latents):
+            logits = seg_vae.apply(
+                {"params": params["seg"]}, latents / seg_cfg.scaling_factor,
+                True, method=lambda m, a, interp: m.decode(a, interpolate=interp),
+            )
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        encode_j = jax.jit(encode_fn)
+        scan_j = jax.jit(scan_fn)
+        decode_j = jax.jit(decode_fn)
+
+        def fn(params, rgb01, rng):
+            return decode_j(params, scan_j(params, encode_j(params, rgb01), rng))
+
+        out = _compile_with_retry(lambda: fn(params, rgb, jax.random.PRNGKey(1)))
+        out.block_until_ready()
 
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.perf_counter()
@@ -103,8 +167,10 @@ def main():
 
     n_chips = max(len(jax.devices()), 1)
     images_per_sec_per_chip = batch * iters / dt / n_chips
+    metric = ("ddim50_inpainting_throughput" if inpaint > 0
+              else "ddim50_panoptic_sampling_throughput")
     print(json.dumps({
-        "metric": "ddim50_panoptic_sampling_throughput",
+        "metric": metric,
         "value": round(images_per_sec_per_chip, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec_per_chip / TARGET, 4),
