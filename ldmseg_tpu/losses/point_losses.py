@@ -289,8 +289,6 @@ def hungarian_match(
     Returns (slot_ids [B,K] gt instance ids, slot_valid [B,K],
     assigned_query [B,K] matched logit channel per slot).
     """
-    from functools import partial
-
     slot_ids, slot_valid = build_mask_slots(targets, cfg)
     b, k = slot_ids.shape
     q = logits.shape[-1]

@@ -16,7 +16,7 @@ Topology mirrors Stable-Diffusion v1-4 blocks (so torch checkpoints convert
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ which the reference issues every step at trainers_ae.py:312,326-330).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

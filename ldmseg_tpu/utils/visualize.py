@@ -9,7 +9,7 @@ the colorized panoptic map over the RGB image.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Union
+from typing import Optional, Sequence
 
 import numpy as np
 from PIL import Image
