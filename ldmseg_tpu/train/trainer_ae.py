@@ -305,6 +305,7 @@ class TrainerAE:
     def train_loop(self):
         start = time.time()
         self.compute_metrics(["miou", "pq"], threshold_output=True, save_images=True)
+        eval_every = self.p["eval_kwargs"].get("eval_every", 1)
         for epoch in range(self.start_epoch, self.epochs):
             print(f"Starting epoch {epoch}")
             meters = {k: AverageMeter(k, ":.4e") for k in ("loss", "ce", "mask", "kl")}
@@ -316,8 +317,11 @@ class TrainerAE:
             self.train_single_epoch(epoch, meters, progress)
             if jax.process_index() == 0:
                 self.save(epoch)
-            self.compute_metrics(["miou", "pq"], threshold_output=True,
-                                 save_images=True)
+            # eval cadence: per-epoch by default (reference behavior);
+            # eval_kwargs.eval_every for tiny datasets with short epochs
+            if (epoch + 1) % eval_every == 0 or epoch == self.epochs - 1:
+                self.compute_metrics(["miou", "pq"], threshold_output=True,
+                                     save_images=True)
             print(f"Epoch {epoch} took {time.time() - t0:.1f}s "
                   f"(avg loss {meters['loss'].avg:.4e})")
         self.compute_metrics(["miou", "pq"], threshold_output=True, save_images=True)

@@ -439,6 +439,7 @@ class TrainerDiffusion:
         # full initial eval by default (parity); cap via initial_eval_iters
         evaluation(max_iter=self.p["eval_kwargs"].get("initial_eval_iters"))
         start = time.time()
+        eval_every = self.p["eval_kwargs"].get("eval_every", 1)
         for epoch in range(self.start_epoch, self.epochs):
             print(f"Starting epoch {epoch}")
             self.epoch = epoch
@@ -450,7 +451,8 @@ class TrainerDiffusion:
             self.train_single_epoch(epoch, losses, progress)
             if jax.process_index() == 0:
                 self.save(epoch)
-            evaluation(set_save_model=True)
+            if (epoch + 1) % eval_every == 0 or epoch == self.epochs - 1:
+                evaluation(set_save_model=True)
             print(f"Epoch {epoch}: avg loss {losses.avg:.4e}, "
                   f"{time.time() - t0:.1f}s")
         evaluation(max_iter=None)

@@ -138,3 +138,32 @@ def test_ae_roundtrip_pipeline(examples_root):
     res = evaluator.evaluate()
     assert "PQ" in res["panoptic_seg"]
     assert 0.0 <= res["panoptic_seg"]["PQ"] <= 100.0
+
+
+def test_examples_color_encoding(examples_root):
+    from ldmseg_tpu.data.encodings import color_map
+
+    tf = get_val_transforms({"type": "crop_resize_pil", "size": 64})
+    ds = COCOExamples(examples_root, transform=tf, encoding_mode="color")
+    s = ds[0]
+    assert s["image_semseg"].shape == (64, 64, 3)
+    # colors come from the fixed colormap (after /255 in ToNumpy)
+    cmap = color_map().astype(np.float32) / 255.0
+    px = s["image_semseg"].reshape(-1, 3)
+    ids = s["semseg"].reshape(-1)
+    sample_idx = np.nonzero(ids != 0)[0][:50]
+    np.testing.assert_allclose(px[sample_idx], cmap[ids[sample_idx]], atol=0.05)
+
+
+def test_examples_random_color_and_none_encodings(examples_root):
+    tf = get_val_transforms({"type": "crop_resize_pil", "size": 64})
+    ds_rc = COCOExamples(examples_root, transform=tf,
+                         encoding_mode="random_color", seed=3)
+    s = ds_rc[0]
+    assert s["image_semseg"].shape == (64, 64, 3)
+    ds_none = COCOExamples(examples_root, transform=tf, encoding_mode="none")
+    s2 = ds_none[0]
+    assert s2["image_semseg"].shape == (64, 64, 3)
+    np.testing.assert_allclose(
+        s2["image_semseg"][..., 0], s2["semseg"] / 128.0, atol=1e-6
+    )

@@ -155,8 +155,9 @@ def test_ldm_train_step_full_featured(cpu_devices):
     )
     cfg = LDMStepConfig(
         self_condition=True, prob_inpainting=0.5, ohem_ratio=0.9,
-        latent_size=4, use_ema=True, min_noise_level=0,
-        prob_train_on_pred=0.3,
+        latent_size=4, use_ema=True, min_noise_level=10,
+        rgb_noise_level=20, cond_noise_level=20,
+        prob_train_on_pred=0.3, loss_type="smooth_l1",
     )
     tx = make_optimizer(
         unet_params,
