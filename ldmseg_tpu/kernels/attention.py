@@ -156,14 +156,62 @@ def flash_attention(
 
 def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
     out = flash_attention(q, k, v, scale, block_q, block_k, interpret)
-    return out, (q, k, v)
+    return out, (q, k, v, out)
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
-    q, k, v = res
+    """Chunked-recompute attention backward.
+
+    The naive VJP materializes the full [BH, S, S] score matrix (4+ GB at
+    4096 tokens) — instead scan over q chunks, recomputing scores per chunk
+    (flash-attention backward math in XLA): memory O(S * block_q).
+    """
+    q, k, v, out = res
     scale_ = (q.shape[-1] ** -0.5) if scale is None else scale
-    _, vjp = jax.vjp(lambda q_, k_, v_: mha_reference(q_, k_, v_, scale_), q, k, v)
-    return vjp(g)
+    b, sq, h, d = q.shape
+    bq = min(block_q, sq)
+    n_chunks = sq // bq
+    if sq % bq != 0:  # fall back for ragged shapes
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: mha_reference(q_, k_, v_, scale_), q, k, v
+        )
+        return vjp(g)
+
+    qc = q.reshape(b, n_chunks, bq, h, d)
+    gc = g.reshape(b, n_chunks, bq, h, d)
+    oc = out.reshape(b, n_chunks, bq, h, d)
+
+    def chunk_grads(carry, xs):
+        dk_acc, dv_acc = carry
+        q_c, g_c, o_c = xs  # [B, bq, H, D]
+        s = jnp.einsum("bqhd,bkhd->bhqk", q_c, k,
+                       preferred_element_type=jnp.float32) * scale_
+        p = jax.nn.softmax(s, axis=-1)                       # [B,H,bq,Sk]
+        dp = jnp.einsum("bqhd,bkhd->bhqk", g_c, v,
+                        preferred_element_type=jnp.float32)
+        delta = jnp.sum(g_c.astype(jnp.float32) * o_c.astype(jnp.float32),
+                        axis=-1)                              # [B,bq,H]
+        ds = p * (dp - delta.transpose(0, 2, 1)[..., None])   # [B,H,bq,Sk]
+        dq_c = jnp.einsum("bhqk,bkhd->bqhd", ds, k,
+                          preferred_element_type=jnp.float32) * scale_
+        dk_c = jnp.einsum("bhqk,bqhd->bkhd", ds, q_c,
+                          preferred_element_type=jnp.float32) * scale_
+        dv_c = jnp.einsum("bhqk,bqhd->bkhd",
+                          p.astype(g_c.dtype), g_c,
+                          preferred_element_type=jnp.float32)
+        return (dk_acc + dk_c, dv_acc + dv_c), dq_c
+
+    init = (
+        jnp.zeros(k.shape, jnp.float32),
+        jnp.zeros(v.shape, jnp.float32),
+    )
+    (dk, dv), dqs = jax.lax.scan(
+        chunk_grads, init,
+        (qc.transpose(1, 0, 2, 3, 4), gc.transpose(1, 0, 2, 3, 4),
+         oc.transpose(1, 0, 2, 3, 4)),
+    )
+    dq = dqs.transpose(1, 0, 2, 3, 4).reshape(b, sq, h, d)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
