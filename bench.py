@@ -138,8 +138,18 @@ def main():
             def denoise(inputs, t, ctx):
                 return unet.apply({"params": params["unet"]}, inputs, t, ctx)
 
+            inpaint_kw = {}
+            if inpaint > 0:
+                k_m, k_l = jax.random.split(jax.random.PRNGKey(123))
+                inpaint_kw = dict(
+                    inpaint_mask=(
+                        jax.random.uniform(k_m, rgb_lat.shape[:3]) < inpaint
+                    ).astype(jnp.float32),
+                    known_latents=jax.random.normal(k_l, rgb_lat.shape),
+                )
             return ddim_sample(denoise, sched, rng, rgb_lat,
-                               num_inference_steps=steps, self_condition=True)
+                               num_inference_steps=steps, self_condition=True,
+                               **inpaint_kw)
 
         def decode_fn(params, latents):
             logits = seg_vae.apply(
