@@ -29,7 +29,8 @@ def _compile_with_retry(thunk, attempts=4, wait_s=90):
         except Exception as e:
             if i == attempts - 1:
                 raise
-            print(f"# compile attempt {i} failed ({type(e).__name__}); "
+            msg = " ".join(str(e).split())[:300]
+            print(f"# compile attempt {i} failed ({type(e).__name__}): {msg}; "
                   f"retrying in {wait_s}s", file=sys.stderr)
             time.sleep(wait_s)
 

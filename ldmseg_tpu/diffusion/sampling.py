@@ -86,7 +86,7 @@ def ddim_sample(
         return out.astype(jnp.float32)
 
     def body(carry, t):
-        latents, condition = carry
+        latents, condition, _ = carry
         noise_pred = model_eval(latents, condition, t)
         prev, x0 = ddim_step(sched, noise_pred, t, latents, num_inference_steps)
         if inpaint_mask is not None:
@@ -103,15 +103,18 @@ def ddim_sample(
             )
             prev = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
         new_cond = x0 if self_condition else condition
-        return (prev, new_cond), (prev, x0)
+        # stack per-step latents only when asked for — the default path
+        # carries the final x0 instead of writing 50 x [B,h,w,C] to HBM
+        ys = (prev, x0) if return_all_latents else None
+        return (prev, new_cond, x0), ys
 
     condition0 = jnp.zeros(latent_shape, dtype=jnp.float32)
-    (final_prev, _), (all_prev, all_x0) = jax.lax.scan(
-        body, (latents, condition0), timesteps
+    (final_prev, _, final), ys = jax.lax.scan(
+        body, (latents, condition0, latents), timesteps
     )
     # the reference returns pred_original_sample at the final step
-    final = all_x0[-1]
     if return_all_latents:
+        all_prev, _ = ys
         return final, all_prev
     if repeat_noise:
         return final, original_noise

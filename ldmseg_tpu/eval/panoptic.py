@@ -28,6 +28,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ldmseg_tpu.native import pair_confusion
+
 OFFSET = 256 ** 3
 VOID = 0
 
@@ -108,21 +110,27 @@ def pq_compute_single(
     gt_segms = {s["id"]: dict(s) for s in gt_segments}
     pred_segms = {s["id"]: dict(s) for s in pred_segments}
 
-    # recompute pred areas; validate labels
-    pred_labels, pred_counts = np.unique(pan_pred, return_counts=True)
-    pred_areas = dict(zip(pred_labels.tolist(), pred_counts.tolist()))
-    for lab in list(pred_segms):
-        pred_segms[lab]["area"] = pred_areas.get(lab, 0)
-    gt_labels, gt_counts = np.unique(pan_gt, return_counts=True)
-    for lab, cnt in zip(gt_labels.tolist(), gt_counts.tolist()):
-        if lab in gt_segms:
-            gt_segms[lab]["area"] = cnt
+    # ONE pass over the two id maps (native C++ histogram when available,
+    # numpy sort fallback): the pair confusion, from which both per-map
+    # area tables derive — replaces three np.unique sorts
+    keys, counts = pair_confusion(pan_gt, pan_pred, OFFSET)
+    gt_ids = (keys // np.uint64(OFFSET)).tolist()
+    pred_ids = (keys % np.uint64(OFFSET)).tolist()
+    counts = counts.tolist()
 
     confusion = {}
-    pair = pan_gt.astype(np.uint64) * OFFSET + pan_pred.astype(np.uint64)
-    labels, counts = np.unique(pair, return_counts=True)
-    for label, count in zip(labels.tolist(), counts.tolist()):
-        confusion[(label // OFFSET, label % OFFSET)] = count
+    pred_areas: Dict[int, int] = defaultdict(int)
+    gt_areas: Dict[int, int] = defaultdict(int)
+    for g, p, c in zip(gt_ids, pred_ids, counts):
+        confusion[(g, p)] = c
+        pred_areas[p] += c
+        gt_areas[g] += c
+    # recompute pred areas; validate labels
+    for lab in list(pred_segms):
+        pred_segms[lab]["area"] = pred_areas.get(lab, 0)
+    for lab in list(gt_segms):
+        if lab in gt_areas:
+            gt_segms[lab]["area"] = gt_areas[lab]
 
     matched_gt, matched_pred = set(), set()
     for (gt_l, pred_l), inter in confusion.items():

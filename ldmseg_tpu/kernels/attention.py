@@ -6,9 +6,12 @@ SURVEY §2.9); here the hot path is a Pallas flash-attention forward kernel
 (online-softmax, never materializing the S x S matrix in HBM), with
 
   * a jnp reference implementation (used on CPU, and as the mathematical
-    oracle in tests), and
-  * a recompute-based backward: flash forward + reference VJP. The bwd
-    recompute is the standard memory/FLOP trade and keeps training exact.
+    oracle in tests),
+  * Pallas backward kernels (dK/dV and dQ sweeps over score blocks, the
+    standard flash-attention backward with per-row logsumexp saved by the
+    forward and delta = rowsum(dO * O) recomputed in-kernel), and
+  * a chunked-recompute XLA backward as the fallback for ragged shapes
+    (memory O(S * block_q), flash math in XLA).
 
 All shapes are [batch, seq, heads, head_dim]; softmax statistics in fp32.
 """
@@ -89,6 +92,23 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, n
         o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
+def _flash_kernel_res(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, scale, nk
+):
+    """Forward that additionally saves per-row logsumexp (for the backward).
+
+    lse block is [bq, 128] with the value broadcast across lanes — keeps the
+    aux array tile-aligned with no sublane<->lane relayout.
+    """
+    _flash_kernel(
+        q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, scale=scale, nk=nk
+    )
+
+    @pl.when(pl.program_id(2) == nk - 1)
+    def _save_lse():
+        lse_ref[0] = m_ref[...] + jnp.log(l_ref[...])
+
+
 def _flash_forward(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -98,7 +118,8 @@ def _flash_forward(
     block_q: int,
     block_k: int,
     interpret: bool,
-) -> jnp.ndarray:
+    save_lse: bool = False,
+):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     bq = min(block_q, sq)
@@ -115,27 +136,187 @@ def _flash_forward(
 
     if pltpu is None:  # pragma: no cover
         raise RuntimeError("Pallas TPU backend unavailable; use mha_reference")
-    kernel = functools.partial(_flash_kernel, scale=scale, nk=nk)
     scratch_shapes = [
         pltpu.VMEM((bq, d), jnp.float32),
         pltpu.VMEM((bq, 128), jnp.float32),
         pltpu.VMEM((bq, 128), jnp.float32),
     ]
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda bh, iq, ik: (bh, iq, 0)),
+        pl.BlockSpec((1, bk, d), lambda bh, iq, ik: (bh, ik, 0)),
+        pl.BlockSpec((1, bk, d), lambda bh, iq, ik: (bh, ik, 0)),
+    ]
+    o_spec = pl.BlockSpec((1, bq, d), lambda bh, iq, ik: (bh, iq, 0))
+    o_shape = jax.ShapeDtypeStruct((b * h, sq, d), q.dtype)
+
+    if save_lse:
+        out, lse = pl.pallas_call(
+            functools.partial(_flash_kernel_res, scale=scale, nk=nk),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(
+                o_spec,
+                pl.BlockSpec((1, bq, 128), lambda bh, iq, ik: (bh, iq, 0)),
+            ),
+            out_shape=(
+                o_shape,
+                jax.ShapeDtypeStruct((b * h, sq, 128), jnp.float32),
+            ),
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(qf, kf, vf)
+        return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3), lse
 
     out = pl.pallas_call(
-        kernel,
+        functools.partial(_flash_kernel, scale=scale, nk=nk),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda bh, iq, ik: (bh, iq, 0)),
-            pl.BlockSpec((1, bk, d), lambda bh, iq, ik: (bh, ik, 0)),
-            pl.BlockSpec((1, bk, d), lambda bh, iq, ik: (bh, ik, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda bh, iq, ik: (bh, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        in_specs=in_specs,
+        out_specs=o_spec,
+        out_shape=o_shape,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
+def _flash_bwd_dkdv_kernel(
+    q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, scale, nq,
+):
+    """dK/dV for one k-block, accumulated over the (innermost) q-block axis.
+
+    p = exp(s - lse); dv += p^T dO; ds = p*(dO V^T - delta); dk += ds^T q.
+    delta = rowsum(dO * O) is recomputed per q-block (cheap elementwise).
+    """
+    iq = pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    do = do_ref[0]
+    o = o_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    lse = lse_ref[0][:, :1]  # [bq, 1] fp32
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+    p = jnp.exp(s - lse)  # fp32
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk]
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )  # [bq, 1]
+    ds = p * (dp - delta) * scale
+    dk_acc[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, dq_ref, dq_acc, *, scale, nk
+):
+    """dQ for one q-block, accumulated over the (innermost) k-block axis."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    do = do_ref[0]
+    o = o_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    lse = lse_ref[0][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    ds = p * (dp - delta) * scale
+    dq_acc[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _flash_backward_pallas(
+    q, k, v, out, lse, g, *, scale, block_q, block_k, interpret
+):
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    bq = min(block_q, sq)
+    bk = min(block_k, sk)
+    assert sq % bq == 0 and sk % bk == 0, (sq, bq, sk, bk)
+
+    fold = lambda x: x.transpose(0, 2, 1, 3).reshape(  # noqa: E731
+        b * h, x.shape[1], d
+    )
+    qf, kf, vf, of, gf = fold(q), fold(k), fold(v), fold(out), fold(g)
+    nq, nk = sq // bq, sk // bk
+
+    q_spec_kv = pl.BlockSpec((1, bq, d), lambda bh, ik, iq: (bh, iq, 0))
+    lse_spec_kv = pl.BlockSpec((1, bq, 128), lambda bh, ik, iq: (bh, iq, 0))
+    kv_spec_kv = pl.BlockSpec((1, bk, d), lambda bh, ik, iq: (bh, ik, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkdv_kernel, scale=scale, nq=nq),
+        grid=(b * h, nk, nq),
+        in_specs=[q_spec_kv, q_spec_kv, q_spec_kv, lse_spec_kv,
+                  kv_spec_kv, kv_spec_kv],
+        out_specs=(kv_spec_kv, kv_spec_kv),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, sk, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, gf, of, lse, kf, vf)
+
+    q_spec_q = pl.BlockSpec((1, bq, d), lambda bh, iq, ik: (bh, iq, 0))
+    lse_spec_q = pl.BlockSpec((1, bq, 128), lambda bh, iq, ik: (bh, iq, 0))
+    kv_spec_q = pl.BlockSpec((1, bk, d), lambda bh, iq, ik: (bh, ik, 0))
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, nk=nk),
+        grid=(b * h, nq, nk),
+        in_specs=[q_spec_q, q_spec_q, q_spec_q, lse_spec_q,
+                  kv_spec_q, kv_spec_q],
+        out_specs=q_spec_q,
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        interpret=interpret,
+    )(qf, gf, of, lse, kf, vf)
+
+    unfold = lambda x, s: x.reshape(b, h, s, d).transpose(0, 2, 1, 3)  # noqa: E731
+    return unfold(dq, sq), unfold(dk, sk), unfold(dv, sk)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -154,19 +335,107 @@ def flash_attention(
     )
 
 
+def _pad128(d: int) -> int:
+    return -(-d // 128) * 128
+
+
+def _fwd_vmem_est(bq: int, bk: int, dp: int, save_lse: bool = False) -> int:
+    """Rough Mosaic scoped-VMEM bytes for the forward kernel: double-buffered
+    bf16 IO blocks (q, o / k, v), fp32 acc + m/l scratch, one fp32 [bq, bk]
+    score temp (calibrated against observed compiles: d=40 q2048/k1024 fits
+    at ~14.7M; d=512 OOMs at 23.87M)."""
+    io = 8 * dp * (bq + bk)
+    scratch = 4 * bq * dp + 1024 * bq
+    if save_lse:
+        io += 1024 * bq
+    return 4 * bq * bk + io + scratch
+
+
+def _bwd_vmem_est(bq: int, bk: int, dp: int) -> int:
+    """dK/dV kernel bound (more temps than dQ): ~2.5 fp32 [bq, bk] score
+    temps (s, p, dp, ds streamed), bf16 IO q/do/o + k/v + dk/dv outputs,
+    fp32 accumulators, lse block."""
+    temps = 10 * bq * bk
+    io = 12 * bq * dp + 16 * bk * dp + 1024 * bq
+    scratch = 8 * bk * dp
+    return temps + io + scratch
+
+
+_VMEM_BUDGET = int(15.5 * 2 ** 20)
+
+
+def _shrink_blocks(est, bq: int, bk: int, *, floor: int = 256):
+    """Halve the larger block until the VMEM estimate fits the budget."""
+    while est(bq, bk) > _VMEM_BUDGET and max(bq, bk) > floor:
+        if bq >= bk and bq > floor:
+            bq //= 2
+        else:
+            bk //= 2
+    return bq, bk
+
+
+def _bwd_blocks(sq: int, sk: int, d: int):
+    """Backward block sizes (env-tunable; d-aware VMEM shrink)."""
+    bq = min(int(os.environ.get("LDMSEG_FLASH_BWD_BLOCK_Q", "512")), sq)
+    bk = min(int(os.environ.get("LDMSEG_FLASH_BWD_BLOCK_K", "1024")), sk)
+    dp = _pad128(d)
+    return _shrink_blocks(lambda q_, k_: _bwd_vmem_est(q_, k_, dp), bq, bk)
+
+
+def _use_pallas_bwd() -> bool:
+    mode = os.environ.get("LDMSEG_FLASH_BWD", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
-    out = flash_attention(q, k, v, scale, block_q, block_k, interpret)
-    return out, (q, k, v, out)
+    scale_ = (q.shape[-1] ** -0.5) if scale is None else scale
+    # the residual-saving forward carries the extra lse output block plus
+    # stats scratch: the inference-tuned q=2048 block VMEM-OOMs, so cap it
+    # (training-path block size, tuned independently) and apply the d-aware
+    # VMEM shrink
+    res_bq = min(block_q,
+                 int(os.environ.get("LDMSEG_FLASH_FWD_RES_BLOCK_Q", "1024")),
+                 q.shape[1])
+    res_bk = min(block_k, k.shape[1])
+    dp = _pad128(q.shape[-1])
+    res_bq, res_bk = _shrink_blocks(
+        lambda q_, k_: _fwd_vmem_est(q_, k_, dp, save_lse=True),
+        res_bq, res_bk,
+    )
+    while q.shape[1] % res_bq and res_bq > 8:
+        res_bq //= 2
+    while k.shape[1] % res_bk and res_bk > 8:
+        res_bk //= 2
+    out, lse = _flash_forward(
+        q, k, v, scale=scale_, block_q=res_bq, block_k=res_bk,
+        interpret=interpret, save_lse=True,
+    )
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
-    """Chunked-recompute attention backward.
-
-    The naive VJP materializes the full [BH, S, S] score matrix (4+ GB at
-    4096 tokens) — instead scan over q chunks, recomputing scores per chunk
-    (flash-attention backward math in XLA): memory O(S * block_q).
+    """Flash-attention backward: Pallas kernels when blocks divide the
+    sequence; otherwise chunked recompute in XLA (memory O(S * block_q) —
+    the naive VJP would materialize the full [BH, S, S] score matrix,
+    4+ GB at 4096 tokens).
     """
-    q, k, v, out = res
+    q, k, v, out, lse = res
+    sq, sk = q.shape[1], k.shape[1]
+    bwd_bq, bwd_bk = _bwd_blocks(sq, sk, q.shape[-1])
+    if (
+        (interpret or _use_pallas_bwd())
+        and sq % bwd_bq == 0
+        and sk % bwd_bk == 0
+    ):
+        scale_ = (q.shape[-1] ** -0.5) if scale is None else scale
+        return _flash_backward_pallas(
+            q, k, v, out, lse, g, scale=scale_, block_q=bwd_bq,
+            block_k=bwd_bk, interpret=interpret,
+        )
     scale_ = (q.shape[-1] ** -0.5) if scale is None else scale
     b, sq, h, d = q.shape
     bq = min(block_q, sq)
@@ -238,13 +507,17 @@ def multi_head_attention(
     # is ~30% faster than 512x512 on the 4096-token latent grids
     bq = int(os.environ.get("LDMSEG_FLASH_BLOCK_Q", "2048"))
     bk = int(os.environ.get("LDMSEG_FLASH_BLOCK_K", "1024"))
-    # VMEM guard: the fp32 S block + bf16 P must fit comfortably (~16MB/core);
-    # shrink block_k first (block_q gave the smaller win in the sweep)
-    while bq * bk * 6 > 12 * 2 ** 20 and bk > 512:
-        bk //= 2
-    while bq * bk * 6 > 12 * 2 ** 20 and bq > 512:
-        bq //= 2
     sq, sk = q.shape[1], k.shape[1]
+    bq, bk = min(bq, sq), min(bk, sk)
+    # d-aware VMEM guard: blocks scale with the PADDED head dim. The tuned
+    # 2048x1024 fits for the UNet's d=40..160 but the SD-VAE mid-block
+    # single-head d=512 attention needs 23.9MB scoped VMEM and fails to
+    # compile — this silently broke every encode-containing program until
+    # diagnosed (BENCHMARKS.md).
+    dp = _pad128(q.shape[-1])
+    bq, bk = _shrink_blocks(
+        lambda q_, k_: _fwd_vmem_est(q_, k_, dp), bq, bk
+    )
     flash_ok = (
         _use_flash()
         and sq % min(bq, sq) == 0

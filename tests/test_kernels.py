@@ -53,3 +53,139 @@ def test_flash_attention_bf16_inputs():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
     )
+
+
+# ---------------- fused GroupNorm+SiLU ----------------
+
+from ldmseg_tpu.kernels.norms import _gn_silu_jnp, group_norm_silu  # noqa: E402
+
+
+@pytest.mark.parametrize("hw,c,g", [(16, 64, 8), (64, 320, 32), (8, 128, 32)])
+@pytest.mark.parametrize("silu", [True, False])
+def test_group_norm_pallas_interpret_matches_jnp(hw, c, g, silu):
+    rng = np.random.default_rng(3)
+    h = w = int(hw ** 0.5)
+    if h * w != hw:
+        h, w = hw, 1
+    x = jnp.asarray(rng.normal(size=(2, h, w, c)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    out = group_norm_silu(
+        x, scale, bias, num_groups=g, eps=1e-5, apply_silu=silu,
+        interpret=True,
+    )
+    ref = _gn_silu_jnp(
+        x, scale, bias, num_groups=g, eps=1e-5, apply_silu=silu,
+        out_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_group_norm_pallas_bf16_and_chunking():
+    # hw*c*4 > 2MB forces the in-kernel fori chunking path
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 160)), jnp.bfloat16)
+    scale = jnp.asarray(rng.normal(size=(160,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(160,)).astype(np.float32))
+    out = group_norm_silu(
+        x, scale, bias, num_groups=32, eps=1e-5, apply_silu=True,
+        interpret=True,
+    )
+    ref = _gn_silu_jnp(
+        x, scale, bias, num_groups=32, eps=1e-5, apply_silu=True,
+        out_dtype=jnp.bfloat16,
+    )
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
+    )
+
+
+def test_group_norm_pallas_gradients_match_jnp():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 64)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+
+    def f_pallas(x, s, b):
+        return jnp.sum(group_norm_silu(
+            x, s, b, num_groups=8, eps=1e-5, apply_silu=True, interpret=True
+        ) ** 2)
+
+    def f_jnp(x, s, b):
+        return jnp.sum(_gn_silu_jnp(
+            x, s, b, num_groups=8, eps=1e-5, apply_silu=True,
+            out_dtype=jnp.float32,
+        ) ** 2)
+
+    gp = jax.grad(f_pallas, argnums=(0, 1, 2))(x, scale, bias)
+    gr = jax.grad(f_jnp, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+# ---------------- flash-attention backward paths ----------------
+
+
+def _grad_ref(q, k, v):
+    f = lambda q, k, v: jnp.sum(mha_reference(q, k, v) ** 2)  # noqa: E731
+    return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+
+def test_flash_bwd_pallas_multi_block(monkeypatch):
+    # several q/k blocks so the accumulation loops actually iterate
+    monkeypatch.setenv("LDMSEG_FLASH_BWD_BLOCK_Q", "64")
+    monkeypatch.setenv("LDMSEG_FLASH_BWD_BLOCK_K", "64")
+    rng = np.random.default_rng(6)
+    b, s, h, d = 2, 256, 2, 32
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    f = lambda q, k, v: jnp.sum(  # noqa: E731
+        flash_attention(q, k, v, None, 128, 128, True) ** 2
+    )
+    gp = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    gr = _grad_ref(q, k, v)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+
+def test_flash_bwd_xla_fallback_matches(monkeypatch):
+    monkeypatch.setenv("LDMSEG_FLASH_BWD", "xla")
+    rng = np.random.default_rng(7)
+    b, s, h, d = 1, 128, 2, 32
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    f = lambda q, k, v: jnp.sum(  # noqa: E731
+        flash_attention(q, k, v, None, 64, 64, True) ** 2
+    )
+    # interpret=True would force the pallas bwd; route through the env knob
+    # by checking the xla path directly against the reference
+    from ldmseg_tpu.kernels import attention as attn
+
+    out, res = attn._flash_fwd(q, k, v, None, 64, 64, True)
+    g = 2.0 * out
+    assert attn._use_pallas_bwd() is False
+    dq, dk, dv = attn._flash_bwd(None, 64, 64, False, res, g)
+    gr = _grad_ref(q, k, v)
+    for a, b_ in zip((dq, dk, dv), gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+
+def test_flash_bwd_pallas_bf16():
+    rng = np.random.default_rng(8)
+    b, s, h, d = 1, 128, 2, 32
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.bfloat16)
+    f = lambda q, k, v: jnp.sum(  # noqa: E731
+        flash_attention(q, k, v, None, 64, 64, True).astype(jnp.float32) ** 2
+    )
+    gp = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    gr = _grad_ref(qf, kf, vf)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_), atol=0.15
+        )
