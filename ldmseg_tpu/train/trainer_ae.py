@@ -282,23 +282,32 @@ class TrainerAE:
     # ------------------------------------------------------------------
     def train_single_epoch(self, epoch: int, meters: Dict[str, AverageMeter],
                            progress: ProgressMeter):
+        # metrics stay device arrays between flushes: float() forces a host
+        # sync (expensive through the tunnel), so meters are updated in bulk
+        # every print_freq batches and at epoch end — every batch is counted
+        pending = []
+        n_batches = len(self.dl)
         for batch_idx, batch in enumerate(self.dl):
             db = self._device_batch(batch)
             self.state, metrics = self._train_step(
                 self.state, db, jax.random.PRNGKey(self.seed), self.frozen
             )
-            if (batch_idx + 1) % self.accumulate == 0 or batch_idx + 1 == len(self.dl):
+            if (batch_idx + 1) % self.accumulate == 0 or batch_idx + 1 == n_batches:
                 self.step += 1
             self.profiler.step(self.step)
-            if (batch_idx + 1) % self.print_freq == 0:
-                for name, meter in meters.items():
-                    meter.update(float(metrics[name]), self.batch_size)
-                progress.display(batch_idx)
+            pending.append(metrics)
+            if (batch_idx + 1) % self.print_freq == 0 or batch_idx + 1 == n_batches:
+                for m in pending:
+                    for name, meter in meters.items():
+                        meter.update(float(m[name]), self.batch_size)
+                if (batch_idx + 1) % self.print_freq == 0:
+                    progress.display(batch_idx)
                 self.metrics_logger.log(
-                    {k: float(metrics[k]) for k in
+                    {k: float(pending[-1][k]) for k in
                      ("loss", "ce", "mask", "kl", "grad_norm")},
                     step=self.step,
                 )
+                pending.clear()
             if self.check_iter(batch_idx, epoch):
                 self.save_train_images(db, batch)
 

@@ -181,10 +181,20 @@ class TrainerDiffusion:
             )
         ae_path = p["vae_model_kwargs"].get("pretrained_path")
         if ae_path and os.path.exists(ae_path):
-            data = load_torch_checkpoint(ae_path)
-            seg_params = jax.tree_util.tree_map(
-                jnp.asarray, convert_seg_vae(data["vae"], self.vae_cfg)
-            )
+            if ae_path.endswith(".pt"):
+                # reference stage-1 checkpoint (vae.py:116-121)
+                data = load_torch_checkpoint(ae_path)
+                seg_params = jax.tree_util.tree_map(
+                    jnp.asarray, convert_seg_vae(data["vae"], self.vae_cfg)
+                )
+            else:
+                # our own stage-1 orbax checkpoint dir (TrainerAE.save)
+                data = restore_checkpoint(
+                    os.path.dirname(ae_path), name=os.path.basename(ae_path)
+                )
+                seg_params = jax.tree_util.tree_map(
+                    jnp.asarray, data["params"]
+                )
             print(f"Loaded pretrained seg-AE from {ae_path}")
 
         self.frozen = {"seg_vae": seg_params, "sd_vae": sd_params}
@@ -410,22 +420,30 @@ class TrainerDiffusion:
         return db
 
     def train_single_epoch(self, epoch, losses, progress):
+        # bulk meter flush every print_freq batches and at epoch end: keeps
+        # device arrays async between flushes but counts every batch
+        pending = []
+        n_batches = len(self.dl)
         for batch_idx, batch in enumerate(self.dl):
             db = self._device_batch(batch)
             self.state, metrics = self._train_step(
                 self.state, self.frozen, db, jax.random.PRNGKey(self.seed)
             )
-            if (batch_idx + 1) % self.accumulate == 0 or batch_idx + 1 == len(self.dl):
+            if (batch_idx + 1) % self.accumulate == 0 or batch_idx + 1 == n_batches:
                 self.step += 1
             self.profiler.step(self.step)
-            if (batch_idx + 1) % self.print_freq == 0:
-                losses.update(float(metrics["loss"]), self.batch_size)
-                progress.display(batch_idx)
+            pending.append(metrics)
+            if (batch_idx + 1) % self.print_freq == 0 or batch_idx + 1 == n_batches:
+                for m in pending:
+                    losses.update(float(m["loss"]), self.batch_size)
+                if (batch_idx + 1) % self.print_freq == 0:
+                    progress.display(batch_idx)
                 self.metrics_logger.log(
-                    {"loss": float(metrics["loss"]),
-                     "grad_norm": float(metrics["grad_norm"])},
+                    {"loss": float(pending[-1]["loss"]),
+                     "grad_norm": float(pending[-1]["grad_norm"])},
                     step=self.step,
                 )
+                pending.clear()
             if self.check_iter(batch_idx, epoch) and jax.process_index() == 0:
                 self.log_images_train(batch, db)
 

@@ -192,3 +192,42 @@ def test_trainer_diffusion_inpainting_sampler(tmp_path, examples_root):
     out = np.asarray(out)
     np.testing.assert_allclose(out[:, : lat // 2], 0.5, atol=1e-5)
     assert np.abs(out[:, lat // 2:] - 0.5).max() > 1e-3
+
+
+def test_trainer_diffusion_loads_stage1_orbax_checkpoint(
+    tmp_path, examples_root
+):
+    """Two-stage handoff: a TrainerAE orbax checkpoint ({'params': ...})
+    seeds the LDM's frozen seg-VAE via vae_model_kwargs.pretrained_path
+    (reference: vae.py:116-121 loads the stage-1 .pt)."""
+    import jax.numpy as jnp
+    from ldmseg_tpu.models import SegVAE
+    from ldmseg_tpu.train.checkpoint import save_checkpoint
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion, build_seg_vae_config
+
+    p = tiny_config(tmp_path)
+    vae_cfg = build_seg_vae_config(p)
+    seg_vae = SegVAE(vae_cfg)
+    k = jax.random.PRNGKey(7)
+    size = p["transformation_kwargs"]["size"]
+    ae_params = seg_vae.init(
+        {"params": k}, jnp.zeros((1, size, size, vae_cfg.in_channels)), rng=k
+    )["params"]
+    stage1_dir = str(tmp_path / "stage1")
+    save_checkpoint(stage1_dir, {"step": 1, "epoch": 0, "params": ae_params})
+
+    p["vae_model_kwargs"]["pretrained_path"] = os.path.join(stage1_dir, "model")
+    ds_t, ds_v = _datasets(examples_root, p)
+    mesh = make_mesh(MeshSpec(data=4, fsdp=1), devices=jax.devices()[:4])
+    trainer = TrainerDiffusion(
+        p, mesh=mesh, results_folder=str(tmp_path / "run2"),
+        dataset_train=ds_t, dataset_val=ds_v,
+        unet_cfg=tiny_unet_config(in_channels=8, cond_channels=4),
+        sd_vae_cfg=SDVAEConfig(block_out_channels=(8, 8, 8, 8),
+                               layers_per_block=1, norm_num_groups=4,
+                               dtype="float32"),
+    )
+    loaded = trainer.frozen["seg_vae"]
+    ref_leaf = jax.tree_util.tree_leaves(ae_params)[0]
+    got_leaf = jax.tree_util.tree_leaves(loaded)[0]
+    np.testing.assert_allclose(np.asarray(got_leaf), np.asarray(ref_leaf))
