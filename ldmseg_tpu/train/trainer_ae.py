@@ -315,6 +315,9 @@ class TrainerAE:
         start = time.time()
         self.compute_metrics(["miou", "pq"], threshold_output=True, save_images=True)
         eval_every = self.p["eval_kwargs"].get("eval_every", 1)
+        # train_kwargs.save_every (epochs) spaces out checkpoint saves for
+        # short epochs (per-epoch is reference behavior and the default)
+        save_every = self.p["train_kwargs"].get("save_every", 1)
         for epoch in range(self.start_epoch, self.epochs):
             print(f"Starting epoch {epoch}")
             meters = {k: AverageMeter(k, ":.4e") for k in ("loss", "ce", "mask", "kl")}
@@ -324,7 +327,9 @@ class TrainerAE:
             self.dl.set_epoch(epoch)
             t0 = time.time()
             self.train_single_epoch(epoch, meters, progress)
-            if jax.process_index() == 0:
+            if jax.process_index() == 0 and (
+                (epoch + 1) % save_every == 0 or epoch == self.epochs - 1
+            ):
                 self.save(epoch)
             # eval cadence: per-epoch by default (reference behavior);
             # eval_kwargs.eval_every for tiny datasets with short epochs

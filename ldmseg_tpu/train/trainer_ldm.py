@@ -458,6 +458,10 @@ class TrainerDiffusion:
         evaluation(max_iter=self.p["eval_kwargs"].get("initial_eval_iters"))
         start = time.time()
         eval_every = self.p["eval_kwargs"].get("eval_every", 1)
+        # per-epoch checkpointing is reference behavior, but a full save is
+        # a device_get of the whole UNet (~3.4GB) — pathological for short
+        # epochs; train_kwargs.save_every (epochs) spaces it out
+        save_every = self.p["train_kwargs"].get("save_every", 1)
         for epoch in range(self.start_epoch, self.epochs):
             print(f"Starting epoch {epoch}")
             self.epoch = epoch
@@ -467,7 +471,9 @@ class TrainerDiffusion:
             self.dl.set_epoch(epoch)
             t0 = time.time()
             self.train_single_epoch(epoch, losses, progress)
-            if jax.process_index() == 0:
+            if jax.process_index() == 0 and (
+                (epoch + 1) % save_every == 0 or epoch == self.epochs - 1
+            ):
                 self.save(epoch)
             if (epoch + 1) % eval_every == 0 or epoch == self.epochs - 1:
                 evaluation(set_save_model=True)

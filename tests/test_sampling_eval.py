@@ -272,3 +272,22 @@ def test_evaluator_on_synthetic_gt(tmp_path):
     res = ev.evaluate()
     assert res["panoptic_seg"]["PQ"] == pytest.approx(100.0)
     assert res["panoptic_seg"]["SQ"] == pytest.approx(100.0)
+
+
+def test_ddim_return_all_latents_consistent_with_default():
+    """The default path carries final x0 instead of stacking; both paths
+    must agree, and the stacked output must have [steps, ...] shape."""
+    def denoise(inputs, t, ctx):
+        return 0.1 * inputs[..., :4]
+
+    rgb = jnp.ones((2, 8, 8, 4))
+    final_default = ddim_sample(denoise, SCHED, jax.random.PRNGKey(3), rgb,
+                                num_inference_steps=6)
+    final_stacked, all_prev = ddim_sample(
+        denoise, SCHED, jax.random.PRNGKey(3), rgb, num_inference_steps=6,
+        return_all_latents=True,
+    )
+    assert all_prev.shape == (6, 2, 8, 8, 4)
+    np.testing.assert_allclose(
+        np.asarray(final_default), np.asarray(final_stacked), atol=1e-6
+    )
