@@ -57,6 +57,7 @@ class COCOPanoptic:
         fill_value: float = 0.5,
         ignore_label: int = 0,
         inpainting_strength: float = 0.0,
+        deterministic_remap: bool = False,
         seed: int = 0,
     ):
         assert split in ("train", "val", "test")
@@ -69,6 +70,7 @@ class COCOPanoptic:
         self.tokenizer = tokenizer
         self.transform = transform
         self.remap = remap_labels
+        self.deterministic_remap = deterministic_remap
         self.caption_dropout = caption_dropout
         self.encoding_mode = encoding_mode
         self.caption_type = caption_type
@@ -253,9 +255,16 @@ class COCOPanoptic:
             sample["text"] = ""
 
         if self.remap:
+            # deterministic_remap: per-image FIXED permutation (seeded by the
+            # image id) so targets are stable across epochs — overfit/debug
+            # aid; the reference task resamples ids per example (coco.py:320-351)
+            remap_rng = (
+                np.random.default_rng(int(key_id.split(".")[0]))
+                if self.deterministic_remap else self.rng
+            )
             semseg, mapping = remap_labels(
                 semseg, num_classes=self.num_classes,
-                ignore_label=self.ignore_label, rng=self.rng,
+                ignore_label=self.ignore_label, rng=remap_rng,
             )
             segments_info = {mapping[k]: v for k, v in segments_info.items()}
 
@@ -325,6 +334,7 @@ class COCOExamples(COCOPanoptic):
         self.tokenizer = kw.get("tokenizer")
         self.transform = transform
         self.remap = kw.get("remap_labels", True)
+        self.deterministic_remap = kw.get("deterministic_remap", False)
         self.caption_dropout = kw.get("caption_dropout", 0.0)
         self.encoding_mode = kw.get("encoding_mode", "bits")
         self.caption_type = "none"

@@ -137,6 +137,7 @@ class TrainerAE:
         t_val = get_val_transforms(p["transformation_kwargs"])
         ds_kwargs = dict(
             remap_labels=tk.get("remap_seg", True),
+            deterministic_remap=tk.get("deterministic_remap", False),
             encoding_mode=tk.get("encoding_mode", "bits"),
             num_classes=self.num_classes,
             fill_value=p.get("fill_value", 0.5),

@@ -204,6 +204,7 @@ class TrainerDiffusion:
         t_val = get_val_transforms(p["transformation_kwargs"])
         ds_kwargs = dict(
             remap_labels=tk.get("remap_seg", True),
+            deterministic_remap=tk.get("deterministic_remap", False),
             encoding_mode=tk.get("encoding_mode", "bits"),
             caption_type=tk.get("caption_type", "none"),
             inpaint_mask_size=tuple(tk.get("inpaint_mask_size", (64, 64))),

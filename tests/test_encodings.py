@@ -130,3 +130,24 @@ def test_mask_generator_combined():
     m = gen(t=0.1)
     assert set(np.unique(m)) <= {0, 1}
     assert m.sum() > 0
+
+
+def test_deterministic_remap_stable_across_epochs():
+    """deterministic_remap=True: same image -> same id permutation on every
+    read (overfit/debug aid); default random remap resamples per read."""
+    import os
+    from ldmseg_tpu.data.coco import COCOExamples
+
+    root = "/tmp/ldmseg_data/examples"
+    if not os.path.isdir(root):
+        import pytest
+
+        pytest.skip("bundled examples unavailable")
+    ds = COCOExamples(root, split="train", deterministic_remap=True)
+    a = np.asarray(ds[0]["semseg"])
+    b = np.asarray(ds[0]["semseg"])
+    np.testing.assert_array_equal(a, b)
+
+    ds_rand = COCOExamples(root, split="train", deterministic_remap=False)
+    reads = [np.asarray(ds_rand[0]["semseg"]) for _ in range(4)]
+    assert any((reads[0] != r).any() for r in reads[1:])
