@@ -189,3 +189,23 @@ def test_flash_bwd_pallas_bf16():
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b_), atol=0.15
         )
+
+
+def test_flash_block_sizing_is_head_dim_aware():
+    """VMEM-calibrated shrink: the tuned 2048x1024 stays for the UNet's
+    d=40 attentions but shrinks for the SD-VAE mid-block's single-head
+    d=512 (which needed 23.9MB scoped VMEM and failed to compile)."""
+    from ldmseg_tpu.kernels import attention as A
+
+    est40 = lambda q, k: A._fwd_vmem_est(q, k, A._pad128(40))  # noqa: E731
+    est512 = lambda q, k: A._fwd_vmem_est(q, k, A._pad128(512))  # noqa: E731
+    assert A._shrink_blocks(est40, 2048, 1024) == (2048, 1024)
+    bq, bk = A._shrink_blocks(est512, 2048, 1024)
+    assert (bq, bk) != (2048, 1024) and bq * bk < 2048 * 1024
+    assert est512(bq, bk) <= A._VMEM_BUDGET
+
+    # backward blocks shrink too, and always divide power-of-two seqs
+    for d in (40, 80, 160, 512):
+        bq, bk = A._bwd_blocks(4096, 4096, d)
+        assert 4096 % bq == 0 and 4096 % bk == 0
+        assert A._bwd_vmem_est(bq, bk, A._pad128(d)) <= A._VMEM_BUDGET
