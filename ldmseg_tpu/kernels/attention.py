@@ -274,6 +274,10 @@ def _flash_backward_pallas(
     bq = min(block_q, sq)
     bk = min(block_k, sk)
     assert sq % bq == 0 and sk % bk == 0, (sq, bq, sk, bk)
+    # residuals carry one lse lane ([BH, S, 1]); re-broadcast to the
+    # tile-aligned 128-lane layout the kernels read (cheap copy vs
+    # holding the 128x array across the whole forward->backward gap)
+    lse = jnp.broadcast_to(lse, (*lse.shape[:-1], 128))
 
     fold = lambda x: x.transpose(0, 2, 1, 3).reshape(  # noqa: E731
         b * h, x.shape[1], d
@@ -410,11 +414,21 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
         res_bq //= 2
     while k.shape[1] % res_bk and res_bk > 8:
         res_bk //= 2
+    if q.shape[1] % res_bq or k.shape[1] % res_bk:
+        # Ragged sequence (e.g. sq=1100): no Pallas residual forward —
+        # compute the primal in XLA and let the backward take the
+        # lse-free recompute path instead of tripping the block assert.
+        out = mha_reference(q, k, v, scale_)
+        return out, (q, k, v, out, None)
     out, lse = _flash_forward(
         q, k, v, scale=scale_, block_q=res_bq, block_k=res_bk,
         interpret=interpret, save_lse=True,
     )
-    return out, (q, k, v, out, lse)
+    # The kernel writes lse broadcast across all 128 lanes (tile-aligned
+    # store); keep only one lane in the saved residuals — the full array
+    # would be 128x larger than needed from forward to backward (~134MB
+    # per 4096-token attention at B*H=64). Re-broadcast in the backward.
+    return out, (q, k, v, out, lse[..., :1])
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
@@ -427,7 +441,8 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
     sq, sk = q.shape[1], k.shape[1]
     bwd_bq, bwd_bk = _bwd_blocks(sq, sk, q.shape[-1])
     if (
-        (interpret or _use_pallas_bwd())
+        lse is not None
+        and (interpret or _use_pallas_bwd())
         and sq % bwd_bq == 0
         and sk % bwd_bk == 0
     ):

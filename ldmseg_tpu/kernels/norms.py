@@ -212,9 +212,11 @@ def group_norm_silu(
 ) -> jnp.ndarray:
     """GroupNorm over NHWC input, optional fused SiLU.
 
-    Statistics are computed in fp32 regardless of input dtype. Dispatch:
-    one-pass Pallas kernel on TPU when the [HW, C] block fits VMEM, jnp
-    fallback otherwise (env override LDMSEG_GROUPNORM={auto,pallas,jnp}).
+    Statistics are computed in fp32 regardless of input dtype. Default path
+    is jnp (XLA's reduce+normalize fusion won the whole-scan A/B at the
+    UNet's dominant shapes — BENCHMARKS.md); set LDMSEG_GROUPNORM=pallas to
+    opt into the one-pass Pallas kernel (used only when the [HW, C] block
+    fits VMEM).
     """
     orig_dtype = dtype or x.dtype
     b, h, w, c = x.shape
