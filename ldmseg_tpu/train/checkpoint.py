@@ -29,8 +29,14 @@ def save_checkpoint(
     directory: str,
     payload: Dict[str, Any],
     name: str = "model",
+    config: Optional[Dict[str, Any]] = None,
 ) -> str:
-    """Save a pytree dict (params/opt_state/step/config...) atomically."""
+    """Save a pytree dict (params/opt_state/step...) atomically.
+
+    ``config`` is the run-config snapshot the reference embeds in every
+    checkpoint (trainers_ldm_cond.py:1810); it holds strings/None so it is
+    written as a json sidecar ``<name>.config.json`` next to the orbax dir.
+    """
     path = os.path.abspath(os.path.join(directory, name))
     ckptr = ocp.StandardCheckpointer()
     if os.path.exists(path):
@@ -47,7 +53,25 @@ def save_checkpoint(
     else:
         ckptr.save(path, payload)
         ckptr.wait_until_finished()
+    if config is not None:
+        import json
+
+        with open(path + ".config.json", "w") as f:
+            json.dump(config, f, indent=2, default=str)
     return path
+
+
+def load_config_snapshot(
+    directory: str, name: str = "model"
+) -> Optional[Dict[str, Any]]:
+    """Read back the config snapshot saved next to a checkpoint."""
+    path = os.path.abspath(os.path.join(directory, name)) + ".config.json"
+    if not os.path.exists(path):
+        return None
+    import json
+
+    with open(path) as f:
+        return json.load(f)
 
 
 def restore_checkpoint(

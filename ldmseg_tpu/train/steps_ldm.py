@@ -264,8 +264,22 @@ def make_ldm_train_step(
             k = int(cfg.ohem_ratio * loss.shape[0])
             loss = jax.lax.top_k(loss, k)[0]
         loss = jnp.mean(loss)
+
+        # predicted x0 for the train grid; paste the original latents
+        # through the inpainting mask (trainers_ldm_cond.py:605-615)
+        if sched.prediction_type == "epsilon":
+            pred_latents = remove_noise(sched, noisy_latents, prediction,
+                                        timesteps)
+        else:
+            pred_latents = prediction
+        if inpainting_masks is not None:
+            pred_latents = jnp.where(
+                inpainting_masks[..., None] > 0.5, latents_mean, pred_latents
+            )
         aux = {
             "timesteps_mean": jnp.mean(timesteps.astype(jnp.float32)),
+            "noisy_latents": jax.lax.stop_gradient(noisy_latents),
+            "pred_latents": jax.lax.stop_gradient(pred_latents),
         }
         return loss, aux
 
@@ -284,11 +298,21 @@ def make_ldm_train_step(
 
         new_ema = state.ema_params
         if cfg.use_ema and state.ema_params is not None:
-            step_f = state.step.astype(jnp.float32) + 1.0
-            decay = jnp.minimum(cfg.ema_decay, (1.0 + step_f) / (10.0 + step_f))
+            # EMA advances once per OPTIMIZER step (ldm_cond.py:873-877):
+            # under optax.MultiSteps the warmup count is the gradient_step
+            # and mid-accumulation microbatches leave the EMA untouched.
+            if hasattr(new_opt, "gradient_step"):
+                opt_step_f = new_opt.gradient_step.astype(jnp.float32)
+                did_update = new_opt.mini_step == 0
+            else:
+                opt_step_f = state.step.astype(jnp.float32) + 1.0
+                did_update = jnp.array(True)
+            decay = jnp.minimum(cfg.ema_decay,
+                                (1.0 + opt_step_f) / (10.0 + opt_step_f))
             new_ema = jax.tree_util.tree_map(
-                lambda e, p: e * decay + p * (1.0 - decay), state.ema_params,
-                new_params,
+                lambda e, p: jnp.where(
+                    did_update, e * decay + p * (1.0 - decay), e),
+                state.ema_params, new_params,
             )
 
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **aux}

@@ -441,27 +441,44 @@ class TrainerAE:
         self._dump_val_grid(batch, preds)
 
     def save(self, epoch: int):
+        """Save incl. optimizer state + config snapshot (trainers_ae.py:491-505)."""
+        from flax import serialization
+
         payload = {
             "step": self.step,
+            "state_step": int(jax.device_get(self.state.step)),
             "epoch": epoch,
             "params": jax.device_get(self.state.params),
             "opt_state": (
-                jax.device_get(self.state.opt_state)
+                serialization.to_state_dict(
+                    jax.device_get(self.state.opt_state))
                 if self.p.get("optimizer_save_optim", False) else None
             ),
         }
-        save_checkpoint(self.results_folder, payload)
+        save_checkpoint(self.results_folder, payload, config=self.p)
         print(f"Saved checkpoint at epoch {epoch}")
 
     def resume(self):
+        """Resume params + optimizer state + counters (trainers_ae.py:507-530)."""
+        from flax import serialization
+
         data = restore_checkpoint(self.results_folder)
         if data is None:
             print("No checkpoint to resume from")
             return
         self.state = self.state.replace(
             params=jax.tree_util.tree_map(jnp.asarray, data["params"]),
-            step=jnp.asarray(data["step"], jnp.int32),
+            step=jnp.asarray(
+                int(data.get("state_step", data["step"])), jnp.int32),
         )
+        if data.get("opt_state") is not None:
+            opt_state = serialization.from_state_dict(
+                self.state.opt_state, data["opt_state"]
+            )
+            self.state = self.state.replace(
+                opt_state=jax.tree_util.tree_map(jnp.asarray, opt_state)
+            )
+            print("Restored optimizer state")
         self.start_epoch = int(data["epoch"]) + 1
         self.step = int(data["epoch"] + 1) * self.num_iters_per_epoch + 1
         print(f"Resumed from epoch {data['epoch']}")

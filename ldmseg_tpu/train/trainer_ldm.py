@@ -433,7 +433,12 @@ class TrainerDiffusion:
             if (batch_idx + 1) % self.accumulate == 0 or batch_idx + 1 == n_batches:
                 self.step += 1
             self.profiler.step(self.step)
-            pending.append(metrics)
+            # keep only scalar metrics pending (the grid latents in aux
+            # would otherwise pin ~0.5MB of HBM per step until the flush)
+            pending.append(
+                {k: v for k, v in metrics.items()
+                 if getattr(v, "ndim", 0) == 0}
+            )
             if (batch_idx + 1) % self.print_freq == 0 or batch_idx + 1 == n_batches:
                 for m in pending:
                     losses.update(float(m["loss"]), self.batch_size)
@@ -446,7 +451,7 @@ class TrainerDiffusion:
                 )
                 pending.clear()
             if self.check_iter(batch_idx, epoch) and jax.process_index() == 0:
-                self.log_images_train(batch, db)
+                self.log_images_train(batch, db, metrics)
 
     def train_loop(self):
         evaluation = functools.partial(
@@ -513,11 +518,15 @@ class TrainerDiffusion:
         rng = jax.random.PRNGKey(seed if seed is not None else 0)
 
         for batch_idx, batch in enumerate(self.dl_val):
+            # fresh noise per val batch (reference draws sequentially from
+            # one generator, trainers_ldm_cond.py:1088)
+            rng, rng_batch = jax.random.split(rng)
             rgb = jnp.asarray(batch["image"])
             rgb_latents = self.encode_rgb_images(rgb)
             context = self._batch_context(batch)
             latents = self.sample(
-                rgb_latents, rng=rng, num_inference_steps=num_inference_steps,
+                rgb_latents, rng=rng_batch,
+                num_inference_steps=num_inference_steps,
                 context=context,
             )
             logits = self.decode_latents(latents, return_logits=True)
@@ -540,7 +549,7 @@ class TrainerDiffusion:
             evaluator.process(file_names, image_ids, outputs)
             if save_images and batch_idx == 0 and jax.process_index() == 0:
                 self.log_images_val(batch, latents, outputs)
-            if max_iter is not None and batch_idx >= max_iter:
+            if max_iter is not None and batch_idx + 1 >= max_iter:
                 break
 
         results = evaluator.evaluate()
@@ -580,7 +589,9 @@ class TrainerDiffusion:
         ]
         write_image(stack_rows(rows), self.visualization_dir, "overview.png")
 
-    def log_images_train(self, batch, db):
+    def log_images_train(self, batch, db, metrics=None):
+        """Train grid: rgb / gt / noisy / pred-x0 / generated rows
+        (trainers_ldm_cond.py:1348-1538)."""
         rgb_latents = self.encode_rgb_images(jnp.asarray(batch["image"]))
         latents = self.sample(rgb_latents)
         gen = self.decode_latents(latents, threshold_output=True)
@@ -590,8 +601,18 @@ class TrainerDiffusion:
             make_row([batch["image"][i] for i in range(n)], size),
             make_row([colorize_ids(np.asarray(batch["semseg"][i]))
                       for i in range(n)], size),
-            make_row([gen[i] for i in range(n)], size),
         ]
+        if metrics is not None and "noisy_latents" in metrics:
+            # decoded noisy input + predicted-x0 latents from the last step
+            noisy = self.decode_latents(metrics["noisy_latents"],
+                                        threshold_output=False)
+            pred = self.decode_latents(metrics["pred_latents"],
+                                       threshold_output=False)
+            rows.append(make_row([noisy[i] for i in range(min(n, len(noisy)))],
+                                 size))
+            rows.append(make_row([pred[i] for i in range(min(n, len(pred)))],
+                                 size))
+        rows.append(make_row([gen[i] for i in range(n)], size))
         write_image(stack_rows(rows), self.visualization_dir, "all.png")
 
     def visualize_noise_schedule(self, seed: int = 42):
@@ -633,22 +654,39 @@ class TrainerDiffusion:
 
     # -- checkpointing -------------------------------------------------------------
     def save(self, epoch, name: str = "model", extra: Optional[Dict] = None):
+        """Full save dict incl. optimizer state and config snapshot
+        (trainers_ldm_cond.py:1791-1814)."""
+        from flax import serialization
+
         payload = {
             "step": self.step,
+            "state_step": int(jax.device_get(self.state.step)),
             "epoch": epoch,
+            "best_pq": self.best_pq,
             "unet": jax.device_get(self.state.params),
             "vae_semseg": jax.device_get(self.frozen["seg_vae"]),
             "vae_image": jax.device_get(self.frozen["sd_vae"]),
             "ema": (jax.device_get(self.state.ema_params)
                     if self.use_ema else None),
-            "opt_state": (jax.device_get(self.state.opt_state)
-                          if self.p.get("optimizer_save_optim", False) else None),
+            # namedtuple opt_state -> pure nested dict (stable under orbax
+            # raw round-trip; restored via serialization.from_state_dict)
+            "opt_state": (
+                serialization.to_state_dict(
+                    jax.device_get(self.state.opt_state))
+                if self.p.get("optimizer_save_optim", False) else None),
         }
         if extra:
             payload.update(extra)
-        save_checkpoint(self.results_folder, payload, name=name)
+        # config snapshot rides along with the checkpoint (ldm_cond.py:1810)
+        save_checkpoint(self.results_folder, payload, name=name,
+                        config=self.p)
 
     def resume(self, load_vae: bool = True):
+        """Resume a run: params, EMA, optimizer state (Adam moments +
+        MultiSteps counters + LR-schedule position), counters
+        (trainers_ldm_cond.py:1826-1861)."""
+        from flax import serialization
+
         data = restore_checkpoint(self.results_folder)
         if data is None:
             print("No checkpoint to resume from")
@@ -657,11 +695,22 @@ class TrainerDiffusion:
         self.state = self.state.replace(params=asarray(data["unet"]))
         if self.use_ema and data.get("ema") is not None:
             self.state = self.state.replace(ema_params=asarray(data["ema"]))
+        if data.get("opt_state") is not None:
+            opt_state = serialization.from_state_dict(
+                self.state.opt_state, data["opt_state"]
+            )
+            self.state = self.state.replace(opt_state=asarray(opt_state))
+            print("Restored optimizer state")
+        if data.get("state_step") is not None:
+            self.state = self.state.replace(
+                step=jnp.asarray(int(data["state_step"]), jnp.int32)
+            )
         if load_vae:
             self.frozen = {
                 "seg_vae": asarray(data["vae_semseg"]),
                 "sd_vae": asarray(data["vae_image"]),
             }
+        self.best_pq = float(data.get("best_pq", 0.0) or 0.0)
         self.start_epoch = int(data["epoch"]) + 1
         self.step = (int(data["epoch"]) + 1) * self.num_iters_per_epoch + 1
         print(f"Resumed from epoch {data['epoch']}")

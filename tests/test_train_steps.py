@@ -181,6 +181,106 @@ def test_ldm_train_step_full_featured(cpu_devices):
     assert max(jax.tree_util.tree_leaves(d)) > 0
 
 
+def _tiny_ldm_setup(rng_seed=0, accumulate=1, use_ema=True,
+                    prob_inpainting=0.0, sched_kwargs=None):
+    seg_vae = SegVAE(TINY_AE)
+    sd_vae = SDVAE(TINY_SD)
+    unet_cfg = tiny_unet_config(in_channels=8, cond_channels=4)
+    unet = CondUNet(unet_cfg)
+    rng = np.random.default_rng(rng_seed)
+    batch = _ldm_batch(rng)
+    seg_params = seg_vae.init(
+        {"params": jax.random.PRNGKey(0)}, batch["image_semseg"],
+        rng=jax.random.PRNGKey(1),
+    )["params"]
+    sd_params = sd_vae.init(
+        {"params": jax.random.PRNGKey(2)}, batch["image"],
+        rng=jax.random.PRNGKey(3),
+    )["params"]
+    x = jnp.zeros((8, 4, 4, 12))
+    unet_params = unet.init(jax.random.PRNGKey(4), x, jnp.array([1]))["params"]
+    sched = make_schedule(
+        num_train_timesteps=100, beta_schedule="scaled_linear",
+        beta_start=0.00085, beta_end=0.012, weight="max_clamp_snr",
+        max_snr=2.0, clip_sample=False, set_alpha_to_one=False,
+        **(sched_kwargs or {}),
+    )
+    cfg = LDMStepConfig(
+        self_condition=True, latent_size=4, use_ema=use_ema,
+        prob_inpainting=prob_inpainting,
+    )
+    tx = make_optimizer(
+        unet_params,
+        OptimConfig(lr=1e-3, clip_grad=1.0, accumulate=accumulate),
+        make_lr_schedule("constant", 1e-3, 100),
+    )
+    state = TrainState.create(unet_params, tx, ema=use_ema)
+    frozen = {"seg_vae": seg_params, "sd_vae": sd_params}
+    step = jax.jit(make_ldm_train_step(unet, seg_vae, sd_vae, sched, tx, cfg))
+    return seg_vae, sd_vae, unet, state, frozen, batch, step, cfg
+
+
+def test_ema_and_schedule_advance_per_optimizer_step():
+    """Under accumulate=2, EMA + LR-schedule position advance once per
+    OPTIMIZER step, not per microbatch (ldm_cond.py:857-877)."""
+    _, _, _, state, frozen, batch, step, _ = _tiny_ldm_setup(accumulate=2)
+
+    def tree_max_diff(a, b):
+        return max(
+            jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+                lambda x, y: float(jnp.abs(x - y).max()), a, b))
+        )
+
+    ema0 = jax.device_get(state.ema_params)
+    # microbatch 1: accumulation only — params and EMA untouched
+    state, _ = step(state, frozen, batch, jax.random.PRNGKey(7))
+    assert int(state.opt_state.mini_step) == 1
+    assert int(state.opt_state.gradient_step) == 0
+    assert tree_max_diff(ema0, state.ema_params) == 0.0
+    # microbatch 2: real optimizer step — EMA updated exactly once
+    state, _ = step(state, frozen, batch, jax.random.PRNGKey(7))
+    assert int(state.opt_state.mini_step) == 0
+    assert int(state.opt_state.gradient_step) == 1
+    assert tree_max_diff(ema0, state.ema_params) > 0.0
+    # after 4 microbatches: 2 optimizer steps recorded (schedule position)
+    state, _ = step(state, frozen, batch, jax.random.PRNGKey(7))
+    state, _ = step(state, frozen, batch, jax.random.PRNGKey(7))
+    assert int(state.opt_state.gradient_step) == 2
+    assert int(state.step) == 4
+
+
+def test_train_step_inpainting_paste_and_grid_latents():
+    """aux pred_latents: paste of the original (mean) latents through the
+    inpainting mask (ldm_cond.py:605-615); noisy_latents returned for the
+    train grid."""
+    from ldmseg_tpu.train.steps_ldm import make_encode_fns
+
+    seg_vae, sd_vae, _, state, frozen, batch, step, cfg = _tiny_ldm_setup(
+        prob_inpainting=1.0
+    )
+    batch = dict(batch)
+    batch["inpainting_mask"] = jnp.ones_like(batch["inpainting_mask"])
+    state2, metrics = step(state, frozen, batch, jax.random.PRNGKey(3))
+    assert metrics["noisy_latents"].shape == metrics["pred_latents"].shape
+
+    # with the mask active everywhere, pred_latents == scaled mean latents
+    encode_seg, _ = make_encode_fns(seg_vae, sd_vae, cfg)
+    _, latents_mean = jax.jit(encode_seg)(
+        frozen["seg_vae"], batch["image_semseg"], jax.random.PRNGKey(0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(metrics["pred_latents"]), np.asarray(latents_mean),
+        atol=1e-5,
+    )
+    # with the mask empty, the model prediction shows through
+    batch["inpainting_mask"] = jnp.zeros_like(batch["inpainting_mask"])
+    _, metrics0 = step(state2, frozen, batch, jax.random.PRNGKey(3))
+    assert (
+        np.abs(np.asarray(metrics0["pred_latents"]) - np.asarray(latents_mean))
+        .max() > 1e-3
+    )
+
+
 def test_grad_accumulation_multisteps():
     model = SegVAE(TINY_AE)
     rng = np.random.default_rng(0)

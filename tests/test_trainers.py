@@ -194,6 +194,75 @@ def test_trainer_diffusion_inpainting_sampler(tmp_path, examples_root):
     assert np.abs(out[:, lat // 2:] - 0.5).max() > 1e-3
 
 
+def test_trainer_diffusion_resume_continues_identically(tmp_path, examples_root):
+    """Resume restores the FULL optimization: Adam moments, schedule
+    position, EMA and counters — N steps + save + resume + M steps must
+    reproduce an unbroken N+M-step run exactly
+    (reference parity: trainers_ldm_cond.py:1791-1861)."""
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+    from ldmseg_tpu.train.checkpoint import load_config_snapshot
+
+    def build(folder, p):
+        ds_t, ds_v = _datasets(examples_root, p)
+        mesh = make_mesh(MeshSpec(data=4, fsdp=1), devices=jax.devices()[:4])
+        return TrainerDiffusion(
+            p, mesh=mesh, results_folder=folder,
+            dataset_train=ds_t, dataset_val=ds_v,
+            unet_cfg=tiny_unet_config(in_channels=8, cond_channels=4),
+            sd_vae_cfg=SDVAEConfig(block_out_channels=(8, 8, 8, 8),
+                                   layers_per_block=1, norm_num_groups=4,
+                                   dtype="float32"),
+        )
+
+    def drive(trainer, db, n):
+        out = []
+        for _ in range(n):
+            trainer.state, metrics = trainer._train_step(
+                trainer.state, trainer.frozen, db, jax.random.PRNGKey(0)
+            )
+            out.append(float(metrics["loss"]))
+        return out
+
+    p = tiny_config(tmp_path)
+    p["optimizer_save_optim"] = True
+    p["ema_on"] = True
+    # warmup schedule: LR changes every step, so a schedule reset would
+    # visibly diverge the continued losses
+    p["lr_scheduler_name"] = "warmup"
+
+    # unbroken run: N + M steps on a fixed batch
+    a = build(str(tmp_path / "run_a"), p)
+    db = a._device_batch(next(iter(a.dl)))
+    losses_unbroken = drive(a, db, 5)
+    params_unbroken = jax.device_get(a.state.params)
+    ema_unbroken = jax.device_get(a.state.ema_params)
+
+    # broken run: N steps, save, resume in a FRESH trainer, M steps
+    b = build(str(tmp_path / "run_b"), p)
+    drive(b, db, 3)
+    b.save(epoch=0)
+    c = build(str(tmp_path / "run_b"), p)
+    c.resume(load_vae=True)
+    assert int(c.state.step) == 3
+    losses_resumed = drive(c, db, 2)
+
+    np.testing.assert_allclose(losses_resumed, losses_unbroken[3:], rtol=1e-6)
+    for pu, pr in zip(
+        jax.tree_util.tree_leaves(params_unbroken),
+        jax.tree_util.tree_leaves(jax.device_get(c.state.params)),
+    ):
+        np.testing.assert_allclose(pu, pr, atol=1e-6)
+    for eu, er in zip(
+        jax.tree_util.tree_leaves(ema_unbroken),
+        jax.tree_util.tree_leaves(jax.device_get(c.state.ema_params)),
+    ):
+        np.testing.assert_allclose(eu, er, atol=1e-6)
+
+    # the config snapshot rides along with the checkpoint (ldm_cond.py:1810)
+    snap = load_config_snapshot(str(tmp_path / "run_b"))
+    assert snap is not None and snap["optimizer_save_optim"] is True
+
+
 def test_trainer_diffusion_loads_stage1_orbax_checkpoint(
     tmp_path, examples_root
 ):
