@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import zlib
 from collections import defaultdict
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -223,8 +224,10 @@ class COCOPanoptic:
             }
 
         image_id = key.split(".")[0]
-        captions = self.captions_dict.get(int(image_id), [""])
-        assert semseg.max() > 0
+        captions = (
+            self.captions_dict.get(int(image_id), [""])
+            if image_id.isdigit() else [""]
+        )
         return semseg, keep, captions, image_id + ".jpg"
 
     # -- item -------------------------------------------------------------
@@ -233,10 +236,22 @@ class COCOPanoptic:
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         sample: Dict[str, Any] = {}
-        img = self._load_img(index)
-        sample["image"] = img
 
         semseg, segments_info, captions, key_id = self._load_semseg(index)
+        # An image can lose ALL its segments at load time (tiny-instance +
+        # train-time crowd filtering) even though init-time filtering kept
+        # it; a hard assert here would kill a long run mid-epoch. Fall
+        # forward deterministically to the next index instead.
+        attempts = 0
+        while not segments_info and attempts < len(self):
+            index = (index + 1) % len(self)
+            attempts += 1
+            semseg, segments_info, captions, key_id = self._load_semseg(index)
+        if not segments_info:
+            raise RuntimeError("no image with surviving segments in dataset")
+
+        img = self._load_img(index)
+        sample["image"] = img
 
         if self.caption_type == "caption":
             sample["text"] = (
@@ -258,8 +273,11 @@ class COCOPanoptic:
             # deterministic_remap: per-image FIXED permutation (seeded by the
             # image id) so targets are stable across epochs — overfit/debug
             # aid; the reference task resamples ids per example (coco.py:320-351)
+            # seed from a stable hash of the filename stem — int(stem)
+            # would raise for non-numeric (non-COCO) image names
             remap_rng = (
-                np.random.default_rng(int(key_id.split(".")[0]))
+                np.random.default_rng(
+                    zlib.crc32(key_id.split(".")[0].encode()))
                 if self.deterministic_remap else self.rng
             )
             semseg, mapping = remap_labels(

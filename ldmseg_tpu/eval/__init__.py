@@ -1,6 +1,11 @@
 from .semseg import SemsegMeter
 from .postprocess import panoptic_decode, filter_segments
-from .panoptic import PQStat, pq_compute_single, PanopticEvaluator
+from .panoptic import (
+    PQStat,
+    pq_compute_single,
+    offline_pq_compute,
+    PanopticEvaluator,
+)
 
 __all__ = [
     "SemsegMeter",
@@ -8,5 +13,6 @@ __all__ = [
     "filter_segments",
     "PQStat",
     "pq_compute_single",
+    "offline_pq_compute",
     "PanopticEvaluator",
 ]

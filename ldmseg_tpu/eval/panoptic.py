@@ -193,6 +193,77 @@ def make_agnostic_gt_json(panoptic_json: str) -> str:
     return agnostic
 
 
+def offline_pq_compute(
+    gt_json: str,
+    pred_json: str,
+    gt_folder: Optional[str] = None,
+    pred_folder: Optional[str] = None,
+    verbose: bool = True,
+) -> Dict[str, Dict]:
+    """Offline PQ over saved prediction directories.
+
+    panopticapi ``pq_compute`` parity: GT json + PNG dir vs prediction
+    json + PNG dir, matched by image_id. This is the published offline
+    workflow of the reference CLI
+    (ldmseg/evaluations/panoptic_evaluation.py:176-195).
+    """
+    from PIL import Image
+
+    with open(gt_json) as f:
+        gt = json.load(f)
+    with open(pred_json) as f:
+        pred = json.load(f)
+    gt_folder = gt_folder or gt_json.replace(".json", "")
+    pred_folder = pred_folder or pred_json.replace(".json", "")
+    categories = {c["id"]: c for c in gt["categories"]}
+    pred_by_id = {a["image_id"]: a for a in pred["annotations"]}
+
+    stat = PQStat()
+    for ann in gt["annotations"]:
+        if ann["image_id"] not in pred_by_id:
+            raise KeyError(f"no prediction for image_id {ann['image_id']}")
+        p = pred_by_id[ann["image_id"]]
+        pan_gt = rgb2id(np.array(
+            Image.open(os.path.join(gt_folder, ann["file_name"])).convert("RGB")
+        ))
+        pan_pred = rgb2id(np.array(
+            Image.open(os.path.join(pred_folder, p["file_name"])).convert("RGB")
+        ))
+        stat += pq_compute_single(
+            pan_gt, ann["segments_info"], pan_pred, p["segments_info"],
+            categories,
+        )
+
+    results = {}
+    for name, isthing in (("All", None), ("Things", True), ("Stuff", False)):
+        res, per_class = stat.pq_average(categories, isthing=isthing)
+        results[name] = res
+        if name == "All":
+            results["per_class"] = per_class
+    if verbose:
+        print(f"{'':10s}{'PQ':>10s}{'SQ':>10s}{'RQ':>10s}{'#cats':>8s}")
+        for name in ("All", "Things", "Stuff"):
+            r = results[name]
+            print(f"{name:10s}{100 * r['pq']:10.3f}{100 * r['sq']:10.3f}"
+                  f"{100 * r['rq']:10.3f}{r['n']:8d}")
+    return results
+
+
+def _offline_cli():
+    """CLI: compute PQ on saved prediction dirs
+    (reference: panoptic_evaluation.py:176-195)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description=offline_pq_compute.__doc__)
+    parser.add_argument("--gt-json", required=True)
+    parser.add_argument("--gt-dir", default=None)
+    parser.add_argument("--pred-json", required=True)
+    parser.add_argument("--pred-dir", default=None)
+    args = parser.parse_args()
+    offline_pq_compute(args.gt_json, args.pred_json, gt_folder=args.gt_dir,
+                       pred_folder=args.pred_dir)
+
+
 class PanopticEvaluator:
     """In-memory panoptic evaluator (agnostic or class-aware).
 
@@ -261,7 +332,7 @@ class PanopticEvaluator:
         import jax
 
         preds = self._predictions
-        if jax.process_count() > 1:  # pragma: no cover - multihost only
+        if jax.process_count() > 1:  # exercised by tests/test_multihost.py
             from jax.experimental import multihost_utils
             import pickle
 
@@ -317,3 +388,7 @@ class PanopticEvaluator:
                 f"PQ {res['PQ']:.3f}  SQ {res['SQ']:.3f}  RQ {res['RQ']:.3f}"
             )
         return results
+
+
+if __name__ == "__main__":
+    _offline_cli()

@@ -274,6 +274,58 @@ def test_evaluator_on_synthetic_gt(tmp_path):
     assert res["panoptic_seg"]["SQ"] == pytest.approx(100.0)
 
 
+def test_offline_pq_compute_cli_workflow(tmp_path):
+    """Offline PQ on saved dirs (reference panoptic_evaluation.py:176-195):
+    GT-as-prediction -> PQ 100; a corrupted prediction dir scores lower."""
+    from PIL import Image
+
+    from ldmseg_tpu.eval import offline_pq_compute
+
+    gt_dir = tmp_path / "gt"
+    pred_dir = tmp_path / "pred"
+    bad_dir = tmp_path / "bad"
+    for d in (gt_dir, pred_dir, bad_dir):
+        d.mkdir()
+    annotations, pred_ann = [], []
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        pan = rng.integers(0, 4, size=(24, 24)).astype(np.uint32)
+        pan = np.repeat(np.repeat(pan[::4, ::4], 4, 0), 4, 1)
+        Image.fromarray(id2rgb(pan)).save(gt_dir / f"{i}.png")
+        Image.fromarray(id2rgb(pan)).save(pred_dir / f"{i}.png")
+        bad = np.roll(pan, 12, axis=0)
+        Image.fromarray(id2rgb(bad)).save(bad_dir / f"{i}.png")
+        segs = [
+            {"id": int(v), "category_id": 1, "iscrowd": 0,
+             "area": int((pan == v).sum())}
+            for v in np.unique(pan) if v != 0
+        ]
+        annotations.append({"image_id": i, "file_name": f"{i}.png",
+                            "segments_info": segs})
+        pred_ann.append({"image_id": i, "file_name": f"{i}.png",
+                         "segments_info": [
+                             {"id": s["id"], "category_id": 1} for s in segs
+                         ]})
+    with open(tmp_path / "gt.json", "w") as f:
+        json.dump({"annotations": annotations,
+                   "categories": [{"id": 1, "name": "object", "isthing": 1}]},
+                  f)
+    with open(tmp_path / "pred.json", "w") as f:
+        json.dump({"annotations": pred_ann}, f)
+
+    res = offline_pq_compute(
+        str(tmp_path / "gt.json"), str(tmp_path / "pred.json"),
+        gt_folder=str(gt_dir), pred_folder=str(pred_dir), verbose=True,
+    )
+    assert res["All"]["pq"] == pytest.approx(1.0)
+
+    res_bad = offline_pq_compute(
+        str(tmp_path / "gt.json"), str(tmp_path / "pred.json"),
+        gt_folder=str(gt_dir), pred_folder=str(bad_dir), verbose=False,
+    )
+    assert res_bad["All"]["pq"] < 1.0
+
+
 def test_ddim_return_all_latents_consistent_with_default():
     """The default path carries final x0 instead of stacking; both paths
     must agree, and the stacked output must have [steps, ...] shape."""
