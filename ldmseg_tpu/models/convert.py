@@ -128,13 +128,17 @@ def _convert_resnet(sd: _SD, src: str, dst: str, temb: bool = True):
 
 
 def convert_sd_unet(
-    state: Dict[str, Any], cfg: UNetConfig
+    state: Dict[str, Any], cfg: UNetConfig, return_unused: bool = False
 ) -> Dict[str, Any]:
     """diffusers UNet2DConditionModel state dict -> CondUNet params['params'].
 
     When ``cfg.use_cross_attention`` is False, attn2/norm2 weights in the
     checkpoint are intentionally dropped (reference removes those modules,
     unet.py:83-105).
+
+    ``return_unused=True`` additionally returns the checkpoint keys that
+    were NOT consumed — the fidelity contract (tests/test_convert_sd.py
+    asserts it is empty against the vendored SD v1-4 manifest).
     """
     sd = _SD(state)
     n = len(cfg.block_out_channels)
@@ -180,6 +184,8 @@ def convert_sd_unet(
 
     sd.norm("conv_norm_out", "conv_norm_out")
     sd.conv("conv_out", "conv_out/conv")
+    if return_unused:
+        return sd.tree, sd.unused()
     return sd.tree
 
 
@@ -202,7 +208,11 @@ def _convert_vae_attention(sd: _SD, src: str, dst: str):
             sd.linear(f"{src}.{s_name}", f"{dst}/{d_name}")
 
 
-def convert_sd_vae(state: Dict[str, Any], encoder_only: bool = False) -> Dict[str, Any]:
+def convert_sd_vae(
+    state: Dict[str, Any],
+    encoder_only: bool = False,
+    return_unused: bool = False,
+) -> Dict[str, Any]:
     """diffusers AutoencoderKL state dict -> SDVAE params['params']."""
     sd = _SD(state)
     sd.conv("encoder.conv_in", "encoder/conv_in/conv")
@@ -241,6 +251,8 @@ def convert_sd_vae(state: Dict[str, Any], encoder_only: bool = False) -> Dict[st
                         f"decoder/up_blocks_{i}_upsamplers_0/conv")
         sd.norm("decoder.conv_norm_out", "decoder/conv_norm_out")
         sd.conv("decoder.conv_out", "decoder/conv_out/conv")
+    if return_unused:
+        return sd.tree, sd.unused()
     return sd.tree
 
 
