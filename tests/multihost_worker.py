@@ -21,11 +21,94 @@ import os
 import sys
 
 
+def train_mode(workdir):
+    """2-process data-parallel train step over a GLOBAL 2-device mesh.
+
+    Each process contributes a DIFFERENT local batch half; XLA inserts the
+    cross-process gradient all-reduce from the shardings (the TPU-native
+    replacement for DDP/NCCL, core/mesh.py docstring). Asserts params stay
+    bit-identical across processes after optimizer steps.
+    """
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ldmseg_tpu.core.mesh import (
+        MeshSpec, batch_sharding, make_mesh, replicated_sharding,
+    )
+    from ldmseg_tpu.losses import SegLossConfig
+    from ldmseg_tpu.models import SegVAE, SegVAEConfig
+    from ldmseg_tpu.train import (
+        OptimConfig, TrainState, make_lr_schedule, make_optimizer,
+    )
+    from ldmseg_tpu.train.steps_ae import AEStepConfig, make_ae_train_step
+
+    mesh = make_mesh(MeshSpec(data=jax.device_count(), fsdp=1))
+    cfg_vae = SegVAEConfig(
+        in_channels=7, int_channels=8, out_channels=8,
+        block_out_channels=(8, 8, 8, 8), latent_channels=4, norm_num_groups=4,
+        num_upscalers=1, upscale_channels=8,
+    )
+    model = SegVAE(cfg_vae)
+    hw, b_local = 16, 2
+    rng = np.random.default_rng(100 + jax.process_index())  # different data!
+    semseg = rng.integers(0, 8, size=(b_local, hw, hw)).astype(np.int32)
+    bits = ((semseg[..., None] >> np.arange(7)) % 2).astype(np.float32)
+    local = {
+        "image_semseg": bits,
+        "semseg": semseg,
+        "image": rng.random((b_local, hw, hw, 3)).astype(np.float32),
+    }
+    bsh = batch_sharding(mesh)
+    batch = {
+        k: jax.make_array_from_process_local_data(bsh, v)
+        for k, v in local.items()
+    }
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, hw, hw, 7)), rng=jax.random.PRNGKey(1),
+    )
+    cfg = AEStepConfig(
+        loss_cfg=SegLossConfig(num_points=16, num_classes=8, max_masks=4))
+    tx = make_optimizer(
+        variables["params"], OptimConfig(lr=1e-3),
+        make_lr_schedule("constant", 1e-3, 10),
+    )
+    state = TrainState.create(variables["params"], tx)
+    rsh = replicated_sharding(mesh)
+    state = jax.device_put(state, rsh)
+    step = jax.jit(make_ae_train_step(model, tx, cfg))
+    losses = []
+    for _ in range(2):
+        state, metrics = step(state, batch, jax.random.PRNGKey(5))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses)), losses
+
+    # params are replicated: every process must hold identical values
+    leaf = np.asarray(
+        jax.tree_util.tree_leaves(jax.device_get(state.params))[0]
+    )
+    digest = float(np.abs(leaf).sum())
+    from jax.experimental import multihost_utils
+
+    digests = np.asarray(multihost_utils.process_allgather(
+        np.asarray([digest], dtype=np.float64))).reshape(-1)
+    assert np.allclose(digests, digests[0]), digests
+    out = {"losses": losses, "digest": digest}
+    with open(os.path.join(
+            workdir, f"train_worker_{jax.process_index()}.json"), "w") as f:
+        _json.dump(out, f)
+
+
 def main():
     coord = sys.argv[1]
     pid = int(sys.argv[2])
     nproc = int(sys.argv[3])
     workdir = sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "eval"
 
     import jax
 
@@ -34,6 +117,10 @@ def main():
         coordinator_address=coord, num_processes=nproc, process_id=pid
     )
     assert jax.process_count() == nproc, jax.process_count()
+
+    if mode == "train":
+        train_mode(workdir)
+        return
 
     import numpy as np
     from PIL import Image

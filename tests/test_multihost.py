@@ -100,3 +100,35 @@ def test_two_process_loader_shards_and_pq_gather(tmp_path):
     # every process computed the gathered (global) PQ
     for r in results:
         assert r["PQ"] == pytest.approx(100.0)
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_train_step(tmp_path):
+    """2-process DP train step over a global mesh: different local batches,
+    XLA-inserted cross-process gradient all-reduce, params stay identical
+    on both processes (replaces DDP/NCCL validation, main_ldm.py:188-192)."""
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["JAX_PLATFORMS"] = "cpu"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coord, str(i), "2", str(tmp_path),
+             "train"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    results = []
+    for i in range(2):
+        with open(tmp_path / f"train_worker_{i}.json") as f:
+            results.append(json.load(f))
+    assert results[0]["losses"] == results[1]["losses"]
+    assert results[0]["digest"] == results[1]["digest"]
