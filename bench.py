@@ -110,7 +110,20 @@ def main():
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     # params as explicit jit args (closure capture would bake ~3.4GB of
-    # constants into the program and re-ship them per compile)
+    # constants into the program and re-ship them per compile).
+    # BENCH_PARAM_DTYPE=bfloat16 (default) stores the inference weights in
+    # bf16: the model computes in bf16 anyway, and fp32 masters would
+    # otherwise be read (and converted) from HBM inside every scan step —
+    # 2x the weight traffic of an 860M-param UNet.
+    param_dtype = os.environ.get("BENCH_PARAM_DTYPE", "bfloat16")
+    if param_dtype in ("bfloat16", "bf16"):
+        cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            t,
+        )
+        unet_params, sd_params, seg_params = (
+            cast(unet_params), cast(sd_params), cast(seg_params)
+        )
     params = jax.device_put(
         {"unet": unet_params, "sd": sd_params, "seg": seg_params}
     )

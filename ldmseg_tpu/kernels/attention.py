@@ -164,6 +164,7 @@ def _flash_forward(
             ),
             scratch_shapes=scratch_shapes,
             interpret=interpret,
+            compiler_params=_compiler_params(),
         )(qf, kf, vf)
         return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3), lse
 
@@ -175,6 +176,7 @@ def _flash_forward(
         out_shape=o_shape,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(qf, kf, vf)
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
@@ -303,6 +305,7 @@ def _flash_backward_pallas(
             pltpu.VMEM((bk, d), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(qf, gf, of, lse, kf, vf)
 
     q_spec_q = pl.BlockSpec((1, bq, d), lambda bh, iq, ik: (bh, iq, 0))
@@ -317,6 +320,7 @@ def _flash_backward_pallas(
         out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(qf, gf, of, lse, kf, vf)
 
     unfold = lambda x, s: x.reshape(b, h, s, d).transpose(0, 2, 1, 3)  # noqa: E731
@@ -365,7 +369,21 @@ def _bwd_vmem_est(bq: int, bk: int, dp: int) -> int:
     return temps + io + scratch
 
 
-_VMEM_BUDGET = int(15.5 * 2 ** 20)
+# Mosaic scoped-VMEM budget for block sizing. The Mosaic default limit is
+# 16MB; LDMSEG_FLASH_VMEM_MB raises it (passed per-kernel via
+# CompilerParams.vmem_limit_bytes — global XLA_FLAGS don't survive the
+# axon remote-compile client) to unlock larger blocks.
+_VMEM_BUDGET = int(
+    float(os.environ.get("LDMSEG_FLASH_VMEM_MB", "15.5")) * 2 ** 20
+)
+
+
+def _compiler_params():
+    if pltpu is None:  # pragma: no cover
+        return None
+    # headroom over our own conservative block estimate
+    limit = min(int(_VMEM_BUDGET * 1.25) + 2 * 2 ** 20, 110 * 2 ** 20)
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
 def _shrink_blocks(est, bq: int, bk: int, *, floor: int = 256):
