@@ -63,12 +63,7 @@ def _make_synthetic_gt(tmp_path, n_images=8):
     return n_images
 
 
-@pytest.mark.slow
-def test_two_process_loader_shards_and_pq_gather(tmp_path):
-    n_images = _make_synthetic_gt(tmp_path)
-    port = _free_port()
-    coord = f"127.0.0.1:{port}"
-
+def _worker_env():
     env = dict(os.environ)
     # workers must NOT inherit the test session's 8-device flag: 1 CPU
     # device per process, 2 processes
@@ -76,17 +71,41 @@ def test_two_process_loader_shards_and_pq_gather(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, WORKER, coord, str(i), "2", str(tmp_path)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    return env
+
+
+def _run_worker_pair(tmp_path, mode=None, attempts=2):
+    """Spawn the 2-process worker pair; one retry — the coordination
+    barrier can time out when the 1-core box is under heavy load."""
+    env = _worker_env()
+    last = None
+    for _ in range(attempts):
+        coord = f"127.0.0.1:{_free_port()}"
+        args = [coord, None, "2", str(tmp_path)] + ([mode] if mode else [])
+        procs = []
+        for i in range(2):
+            args[1] = str(i)
+            procs.append(subprocess.Popen(
+                [sys.executable, WORKER] + args,
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            ))
+        try:
+            outs = [p.communicate(timeout=600)[0] for p in procs]
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            outs = [p.communicate()[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            return
+        last = "\n".join(o[-3000:] for o in outs)
+    raise AssertionError(f"worker pair failed twice:\n{last}")
+
+
+@pytest.mark.slow
+def test_two_process_loader_shards_and_pq_gather(tmp_path):
+    n_images = _make_synthetic_gt(tmp_path)
+    _run_worker_pair(tmp_path)
 
     results = []
     for i in range(2):
@@ -107,25 +126,7 @@ def test_two_process_data_parallel_train_step(tmp_path):
     """2-process DP train step over a global mesh: different local batches,
     XLA-inserted cross-process gradient all-reduce, params stay identical
     on both processes (replaces DDP/NCCL validation, main_ldm.py:188-192)."""
-    port = _free_port()
-    coord = f"127.0.0.1:{port}"
-    env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
-    env["JAX_PLATFORMS"] = "cpu"
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, WORKER, coord, str(i), "2", str(tmp_path),
-             "train"],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    _run_worker_pair(tmp_path, mode="train")
     results = []
     for i in range(2):
         with open(tmp_path / f"train_worker_{i}.json") as f:

@@ -167,3 +167,43 @@ def test_examples_random_color_and_none_encodings(examples_root):
     np.testing.assert_allclose(
         s2["image_semseg"][..., 0], s2["semseg"] / 128.0, atol=1e-6
     )
+
+
+def test_empty_segments_falls_forward(examples_root):
+    """If every segment of an image is filtered at load time, __getitem__
+    falls forward to the next index instead of dying (hot-path hardening;
+    the reference would crash the epoch)."""
+    tf = get_val_transforms({"type": "crop_resize_pil", "size": 64})
+    ds = COCOExamples(examples_root, transform=tf, remap_labels=False)
+    orig = ds._load_semseg
+
+    def patched(index):
+        semseg, keep, captions, key_id = orig(index)
+        if index == 0:  # simulate an image whose segments all got filtered
+            return np.zeros_like(semseg), {}, captions, key_id
+        return semseg, keep, captions, key_id
+
+    ds._load_semseg = patched
+    s = ds[0]
+    s1 = ds[1]
+    np.testing.assert_array_equal(
+        np.asarray(s["semseg"]), np.asarray(s1["semseg"])
+    )
+
+
+def test_deterministic_remap_non_numeric_stem(examples_root):
+    """deterministic_remap must work for non-COCO (non-numeric) filenames:
+    the seed is a crc32 of the stem, and repeated reads are stable."""
+    tf = get_val_transforms({"type": "crop_resize_pil", "size": 64})
+    ds = COCOExamples(examples_root, transform=tf, remap_labels=True,
+                      deterministic_remap=True)
+    orig = ds._load_semseg
+
+    def patched(index):
+        semseg, keep, captions, key_id = orig(index)
+        return semseg, keep, captions, "frame_a.jpg"
+
+    ds._load_semseg = patched
+    a = np.asarray(ds[0]["semseg"])
+    b = np.asarray(ds[0]["semseg"])
+    np.testing.assert_array_equal(a, b)
