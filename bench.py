@@ -42,6 +42,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: the driver re-runs this bench every
+    # round and tunneled compiles run minutes — cache hits skip them
+    from ldmseg_tpu.core import enable_compile_cache
+    enable_compile_cache()
+
     from ldmseg_tpu.diffusion import make_schedule
     from ldmseg_tpu.diffusion.sampling import ddim_sample
     from ldmseg_tpu.models import SegVAE, SegVAEConfig

@@ -1,4 +1,10 @@
-from .config import Config, load_config, apply_overrides, prepare_run_dirs
+from .config import (
+    Config,
+    load_config,
+    apply_overrides,
+    prepare_run_dirs,
+    enable_compile_cache,
+)
 from .mesh import MeshSpec, make_mesh, batch_sharding, replicated_sharding, shard_params_fsdp
 from .dtypes import DTypePolicy
 
@@ -7,6 +13,7 @@ __all__ = [
     "load_config",
     "apply_overrides",
     "prepare_run_dirs",
+    "enable_compile_cache",
     "MeshSpec",
     "make_mesh",
     "batch_sharding",

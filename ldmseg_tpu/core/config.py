@@ -169,3 +169,24 @@ def prepare_run_dirs(
     os.makedirs(cfg["save_dir"], exist_ok=True)
     cfg["log_file"] = os.path.join(output_dir, "logger.txt")
     return cfg, run_idx
+
+
+def enable_compile_cache(default_dir: str = "/tmp/ldmseg_jax_cache") -> None:
+    """Persistent XLA compilation cache (best-effort).
+
+    Compiles through the tunneled TPU service run minutes; caching the
+    serialized executables makes repeat CLI/bench invocations near-instant.
+    Override the location with JAX_COMPILATION_CACHE_DIR.
+    """
+    import os
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", default_dir),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception as e:  # pragma: no cover - cache is best-effort
+        print(f"compile cache unavailable: {e}")

@@ -21,6 +21,9 @@ from ldmseg_tpu.utils.logging import Logger
 def main(argv=None):
     import jax
 
+    from ldmseg_tpu.core.config import enable_compile_cache
+    enable_compile_cache()
+
     argv = argv if argv is not None else sys.argv[1:]
     cfg_dir = os.path.join(os.path.dirname(__file__), "configs")
     cfg = load_config(cfg_dir, overrides=argv)

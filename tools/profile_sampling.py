@@ -36,6 +36,9 @@ def summarize(profile_dir: str, top: int = 25):
 
 def main():
     import jax
+
+    from ldmseg_tpu.core.config import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from ldmseg_tpu.diffusion import make_schedule
