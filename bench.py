@@ -223,6 +223,9 @@ def main():
         "value": round(images_per_sec_per_chip, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec_per_chip / TARGET, 4),
+        # this box is a v5e (~43% of v5p bf16 peak); the 8.0 target is v5p
+        "notes": (f"v5e measurement; v5p-normalized ~"
+                  f"{images_per_sec_per_chip / 0.43:.2f} img/s/chip"),
     }))
 
 
