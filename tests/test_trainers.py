@@ -194,6 +194,38 @@ def test_trainer_diffusion_inpainting_sampler(tmp_path, examples_root):
     assert np.abs(out[:, lat // 2:] - 0.5).max() > 1e-3
 
 
+def test_compute_pq_fresh_rng_per_batch_and_max_iter(tmp_path, examples_root):
+    """Eval draws fresh noise per val batch (reference samples sequentially
+    from one generator, ldm_cond.py:1088) and max_iter=N runs exactly N
+    batches."""
+    import jax.numpy as jnp
+
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+
+    p = tiny_config(tmp_path)
+    ds_t, ds_v = _datasets(examples_root, p)
+    mesh = make_mesh(MeshSpec(data=4, fsdp=1), devices=jax.devices()[:4])
+    trainer = TrainerDiffusion(
+        p, mesh=mesh, results_folder=str(tmp_path / "runq"),
+        dataset_train=ds_t, dataset_val=ds_v,
+        unet_cfg=tiny_unet_config(in_channels=8, cond_channels=4),
+        sd_vae_cfg=SDVAEConfig(block_out_channels=(8, 8, 8, 8),
+                               layers_per_block=1, norm_num_groups=4,
+                               dtype="float32"),
+    )
+    seen = []
+
+    def fake_sample(rgb_latents, rng=None, **kw):
+        seen.append(np.asarray(rng))
+        ls = trainer.latent_size
+        return jnp.zeros((rgb_latents.shape[0], ls, ls, 4))
+
+    trainer.sample = fake_sample
+    trainer.compute_pq(num_inference_steps=2, max_iter=2)
+    assert len(seen) == 2, len(seen)
+    assert not np.array_equal(seen[0], seen[1])
+
+
 def test_trainer_diffusion_resume_continues_identically(tmp_path, examples_root):
     """Resume restores the FULL optimization: Adam moments, schedule
     position, EMA and counters — N steps + save + resume + M steps must
