@@ -109,6 +109,65 @@ def _flash_kernel_res(
         lse_ref[0] = m_ref[...] + jnp.log(l_ref[...])
 
 
+def _sliced_layout() -> bool:
+    """Head-sliced input layout: the kernel's BlockSpec picks each head's
+    d-lane window straight out of the [B, S, H*D] projection output, so no
+    [B,S,H,D]->[B,H,S,D] transpose copies (and no lane-padded [BH, S, D]
+    intermediates — XLA pads a 40-lane minor dim to 128 in HBM) ever
+    materialize. Opt-in pending an on-chip A/B vs the folded layout."""
+    return os.environ.get("LDMSEG_FLASH_LAYOUT", "fold") == "sliced"
+
+
+def _flash_forward_sliced(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    bq: int,
+    bk: int,
+    interpret: bool,
+):
+    """Forward with head-sliced BlockSpecs over [B, S, H*D] arrays.
+
+    Grid stays (B*H, nq, nk); axis-2 block index (bh % h) selects the
+    head's d-wide lane window. Only the inference path (no lse residual)
+    uses this — the training forward keeps the folded layout."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    nq, nk = sq // bq, sk // bk
+
+    qf = q.reshape(b, sq, h * d)
+    kf = k.reshape(b, sk, h * d)
+    vf = v.reshape(b, sk, h * d)
+
+    def q_idx(bh, iq, ik, h=h):
+        return (bh // h, iq, bh % h)
+
+    def kv_idx(bh, iq, ik, h=h):
+        return (bh // h, ik, bh % h)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, nk=nk),
+        grid=(b * h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), q_idx),
+            pl.BlockSpec((1, bk, d), kv_idx),
+            pl.BlockSpec((1, bk, d), kv_idx),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), q_idx),
+        out_shape=jax.ShapeDtypeStruct((b, sq, h * d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(qf, kf, vf)
+    return out.reshape(b, sq, h, d)
+
+
 def _flash_forward(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -126,6 +185,14 @@ def _flash_forward(
     bk = min(block_k, sk)
     assert sq % bq == 0 and sk % bk == 0, (sq, bq, sk, bk)
 
+    if pltpu is None:  # pragma: no cover
+        raise RuntimeError("Pallas TPU backend unavailable; use mha_reference")
+
+    if not save_lse and _sliced_layout():
+        return _flash_forward_sliced(
+            q, k, v, scale=scale, bq=bq, bk=bk, interpret=interpret
+        )
+
     # fold heads into batch; kernel sees [BH, S, D]
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
@@ -133,9 +200,6 @@ def _flash_forward(
 
     nq, nk = sq // bq, sk // bk
     grid = (b * h, nq, nk)
-
-    if pltpu is None:  # pragma: no cover
-        raise RuntimeError("Pallas TPU backend unavailable; use mha_reference")
     scratch_shapes = [
         pltpu.VMEM((bq, d), jnp.float32),
         pltpu.VMEM((bq, 128), jnp.float32),

@@ -97,7 +97,12 @@ class TrainerDiffusion:
         sd_vae_cfg: Optional[SDVAEConfig] = None,
         tokenizer=None,
         text_encoder_fn=None,
+        image_descriptor_fn=None,
     ):
+        assert not (text_encoder_fn is not None
+                    and image_descriptor_fn is not None), (
+            "text and image-descriptor conditioning are mutually exclusive"
+        )
         self.p = p
         self.mesh = mesh if mesh is not None else make_mesh()
         self.results_folder = results_folder
@@ -114,6 +119,10 @@ class TrainerDiffusion:
         )
         self.tokenizer = tokenizer
         self.text_encoder_fn = text_encoder_fn  # fn(tokens)->embeddings or None
+        # fn(images01 [B,H,W,3]) -> [B,S,D] hidden states (clip_image modes);
+        # mutually exclusive with text conditioning (ldm_cond.py:730)
+        self.image_descriptor_fn = image_descriptor_fn
+        self._uncond_cache = {}
 
         tk, ek, sk = p["train_kwargs"], p["eval_kwargs"], p["sampling_kwargs"]
         self.batch_size = tk["batch_size"]
@@ -166,8 +175,12 @@ class TrainerDiffusion:
         )
         seg_params = self.seg_vae.init({"params": k1}, seg_dummy, rng=k1)["params"]
         sd_params = self.sd_vae.init({"params": k2}, rgb_dummy, rng=k2)["params"]
+        # raw context width: encoder_hid_dim when the UNet projects incoming
+        # hidden states (clip_image mode), cross_attention_dim otherwise
+        ctx_dim = (self.unet_cfg.encoder_hid_dim
+                   or self.unet_cfg.cross_attention_dim)
         ctx_dummy = (
-            jnp.zeros((1, 77, self.unet_cfg.cross_attention_dim))
+            jnp.zeros((1, 77, ctx_dim))
             if self.unet_cfg.use_cross_attention else None
         )
         unet_params = self.unet.init({"params": k3}, lat_dummy, jnp.array([1]),
@@ -341,6 +354,7 @@ class TrainerDiffusion:
 
     # -- sampling / decoding -------------------------------------------------
     def _sample_impl(self, params, rgb_latents, rng, context=None,
+                     uncond_context=None,
                      inpaint_mask=None, known_latents=None,
                      num_inference_steps=50, repeat_noise=False):
         def denoise(inputs, t, ctx):
@@ -351,6 +365,7 @@ class TrainerDiffusion:
             num_inference_steps=num_inference_steps,
             self_condition=self.self_condition,
             encoder_hidden_states=context,
+            uncond_hidden_states=uncond_context,
             guidance_scale=self.guidance_scale,
             inpaint_mask=inpaint_mask,
             known_latents=known_latents,
@@ -406,7 +421,29 @@ class TrainerDiffusion:
     def _batch_context(self, batch) -> Optional[jnp.ndarray]:
         if self.text_encoder_fn is not None and "tokens" in batch:
             return jnp.asarray(self.text_encoder_fn(batch["tokens"]))
+        if self.image_descriptor_fn is not None and "image" in batch:
+            # frozen CLIP vision features of the RGB input
+            # (ldm_cond.py:721-728); computed host-side, streamed to device
+            return jnp.asarray(self.image_descriptor_fn(np.asarray(batch["image"])))
         return None
+
+    def _uncond_context(self, batch_size: int) -> Optional[jnp.ndarray]:
+        """Empty-string embeddings for classifier-free guidance, text mode
+        only (ldm_cond.py:1113-1117). The clip_image modes duplicate the
+        cond context into both halves in the reference (:1100-1107), which
+        makes CFG an identity — we run the single equivalent forward."""
+        if self.text_encoder_fn is None or self.tokenizer is None:
+            return None
+        if batch_size not in self._uncond_cache:
+            tokens = self.tokenizer(
+                [""] * batch_size, padding="max_length",
+                max_length=self.tokenizer.model_max_length,
+                truncation=True, return_tensors="np",
+            ).input_ids
+            self._uncond_cache[batch_size] = jnp.asarray(
+                self.text_encoder_fn(tokens)
+            )
+        return self._uncond_cache[batch_size]
 
     # -- training -------------------------------------------------------------
     def _device_batch(self, batch):
@@ -528,6 +565,10 @@ class TrainerDiffusion:
                 rgb_latents, rng=rng_batch,
                 num_inference_steps=num_inference_steps,
                 context=context,
+                uncond_context=(
+                    self._uncond_context(int(rgb.shape[0]))
+                    if context is not None else None
+                ),
             )
             logits = self.decode_latents(latents, return_logits=True)
             logits = np.asarray(
@@ -593,7 +634,14 @@ class TrainerDiffusion:
         """Train grid: rgb / gt / noisy / pred-x0 / generated rows
         (trainers_ldm_cond.py:1348-1538)."""
         rgb_latents = self.encode_rgb_images(jnp.asarray(batch["image"]))
-        latents = self.sample(rgb_latents)
+        context = self._batch_context(batch)
+        latents = self.sample(
+            rgb_latents, context=context,
+            uncond_context=(
+                self._uncond_context(int(rgb_latents.shape[0]))
+                if context is not None else None
+            ),
+        )
         gen = self.decode_latents(latents, threshold_output=True)
         n = min(self.batch_size_val, len(gen))
         size = self.image_size
@@ -642,11 +690,15 @@ class TrainerDiffusion:
         batch = next(iter(self.dl))
         rgb = jnp.asarray(batch["image"])
         rgb_latents = self.encode_rgb_images(rgb)
+        context = self._batch_context(batch)
+        uncond = (self._uncond_context(int(rgb.shape[0]))
+                  if context is not None else None)
         rows = [make_row(list(np.asarray(batch["image"])), self.image_size)]
         for row in range(nrows):
             latents, noise_map = self.sample(
                 rgb_latents, rng=jax.random.PRNGKey(1 + row),
                 num_inference_steps=num_inference_steps, repeat_noise=True,
+                context=context, uncond_context=uncond,
             )
             gen = self.decode_latents(latents, threshold_output=True)
             rows.append(make_row(list(gen), self.image_size))

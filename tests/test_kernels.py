@@ -209,3 +209,24 @@ def test_flash_block_sizing_is_head_dim_aware():
         bq, bk = A._bwd_blocks(4096, 4096, d)
         assert 4096 % bq == 0 and 4096 % bk == 0
         assert A._bwd_vmem_est(bq, bk, A._pad128(d)) <= A._VMEM_BUDGET
+
+
+@pytest.mark.parametrize("seq,dim,heads", [(128, 32, 2), (128, 40, 3)])
+def test_flash_attention_sliced_layout_matches_reference(
+    monkeypatch, seq, dim, heads
+):
+    """Head-sliced BlockSpecs over [B, S, H*D] (no fold/unfold transposes)
+    produce identical attention, including non-128 head dims at odd lane
+    offsets (d=40 at offsets 0/40/80)."""
+    monkeypatch.setenv("LDMSEG_FLASH_LAYOUT", "sliced")
+    rng = np.random.default_rng(7)
+    b = 2
+    q = rng.normal(size=(b, seq, heads, dim)).astype(np.float32)
+    k = rng.normal(size=(b, seq, heads, dim)).astype(np.float32)
+    v = rng.normal(size=(b, seq, heads, dim)).astype(np.float32)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        None, 64, 64, True,
+    )
+    ref = mha_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

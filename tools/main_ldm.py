@@ -17,30 +17,6 @@ from ldmseg_tpu.core import MeshSpec, load_config, make_mesh, prepare_run_dirs
 from ldmseg_tpu.utils.logging import Logger
 
 
-def build_text_encoder(p):
-    """Optional CLIP tokenizer/text-encoder for text conditioning
-    ('none' descriptor mode; reference descriptors.py:99-103)."""
-    descriptors = p["train_kwargs"].get("image_descriptors", "remove")
-    if descriptors != "none":
-        return None, None
-    from transformers import CLIPTextModel, CLIPTokenizer
-    import numpy as np
-
-    path = p.get("pretrained_model_path")
-    tokenizer = CLIPTokenizer.from_pretrained(path, subfolder="tokenizer")
-    text_encoder = CLIPTextModel.from_pretrained(path, subfolder="text_encoder")
-    text_encoder.eval()
-
-    def encode(tokens):
-        import torch
-
-        with torch.no_grad():
-            out = text_encoder(torch.as_tensor(np.asarray(tokens)))[0]
-        return out.numpy()
-
-    return tokenizer, encode
-
-
 def main(argv=None):
     import jax
 
@@ -78,13 +54,21 @@ def main(argv=None):
                      indent=2, sort_keys=True, default=str))
     print(f"mesh: {mesh}")
 
-    tokenizer, text_encoder_fn = build_text_encoder(p)
+    from ldmseg_tpu.models.descriptors import get_image_descriptor_model
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion, build_unet_config
 
-    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+    # conditioning selector (reference main_ldm.py:155, descriptors.py:67):
+    # may rewrite the UNet config (cross-attn on, context dims)
+    image_fn, text_encoder_fn, tokenizer, unet_cfg = get_image_descriptor_model(
+        p["train_kwargs"].get("image_descriptors", "remove"),
+        p.get("pretrained_model_path"),
+        build_unet_config(p),
+    )
 
     trainer = TrainerDiffusion(
-        p, mesh=mesh, results_folder=p["output_dir"],
+        p, mesh=mesh, results_folder=p["output_dir"], unet_cfg=unet_cfg,
         tokenizer=tokenizer, text_encoder_fn=text_encoder_fn,
+        image_descriptor_fn=image_fn,
         seed=p["sampling_kwargs"].get("seed", 0),
     )
     trainer.resume(load_vae=True)
