@@ -61,8 +61,12 @@ def main():
     inpaint = float(os.environ.get("BENCH_INPAINT", "0"))
     latent = image_size // 8
 
+    # BENCH_HEAD_DIM=<int>: TPU-native head partitioning (heads = ch // d
+    # per level); 0/unset = SD v1's 8-head split
+    head_dim = int(os.environ.get("BENCH_HEAD_DIM", "0")) or None
     unet_cfg = UNetConfig(in_channels=8, cond_channels=4, out_channels=4,
-                          use_cross_attention=False, dtype="bfloat16")
+                          use_cross_attention=False, dtype="bfloat16",
+                          attention_head_dim=head_dim)
     seg_cfg = SegVAEConfig(num_upscalers=2, dtype="bfloat16")
     sd_cfg = SDVAEConfig(dtype="bfloat16")
     unet, seg_vae, sd_vae = CondUNet(unet_cfg), SegVAE(seg_cfg), SDVAE(sd_cfg)

@@ -191,12 +191,17 @@ _gn_silu_fused.defvjp(_gn_silu_fused_fwd, _gn_silu_fused_bwd)
 _PALLAS_GN_MAX_BYTES = 3 * 2 ** 20
 
 
-def _use_pallas_gn() -> bool:
+def _use_pallas_gn(hw: int = 0, c: int = 0) -> bool:
     """Whole-scan A/B on the v5e (BENCHMARKS.md): the jnp path is ~3% faster
     end-to-end at the UNet's dominant 64^2x320 / 32^2x640 shapes (XLA's
-    reduce+normalize fusion wins there); the kernel only beat XLA at
-    16^2x1280. Default is therefore jnp; the kernel stays for opt-in."""
-    return os.environ.get("LDMSEG_GROUPNORM", "jnp") == "pallas"
+    reduce+normalize fusion wins there); the kernel beat XLA 1.6x in
+    isolation at 16^2x1280. LDMSEG_GROUPNORM: 'jnp' (default), 'pallas'
+    (kernel whenever the block fits), or 'auto' (kernel only at the
+    small-grid/wide-channel shapes where it measured faster)."""
+    mode = os.environ.get("LDMSEG_GROUPNORM", "jnp")
+    if mode == "auto":
+        return hw <= 16 * 16 and c >= 1280
+    return mode == "pallas"
 
 
 def group_norm_silu(
@@ -214,16 +219,17 @@ def group_norm_silu(
 
     Statistics are computed in fp32 regardless of input dtype. Default path
     is jnp (XLA's reduce+normalize fusion won the whole-scan A/B at the
-    UNet's dominant shapes — BENCHMARKS.md); set LDMSEG_GROUPNORM=pallas to
-    opt into the one-pass Pallas kernel (used only when the [HW, C] block
-    fits VMEM).
+    UNet's dominant shapes — BENCHMARKS.md); LDMSEG_GROUPNORM=pallas opts
+    into the one-pass Pallas kernel wherever the [HW, C] block fits VMEM,
+    and =auto uses it only at the small-grid/wide-channel shapes where it
+    measured faster (16^2 x >=1280ch).
     """
     orig_dtype = dtype or x.dtype
     b, h, w, c = x.shape
     assert c % num_groups == 0, (c, num_groups)
     hw = h * w
     fits = hw * c * x.dtype.itemsize <= _PALLAS_GN_MAX_BYTES
-    if (interpret or _use_pallas_gn()) and fits and _pick_chunk(hw, c):
+    if (interpret or _use_pallas_gn(hw, c)) and fits and _pick_chunk(hw, c):
         return _gn_silu_fused(
             x, scale, bias, num_groups, eps, apply_silu, orig_dtype, interpret
         )

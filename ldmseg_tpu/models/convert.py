@@ -140,6 +140,10 @@ def convert_sd_unet(
     were NOT consumed — the fidelity contract (tests/test_convert_sd.py
     asserts it is empty against the vendored SD v1-4 manifest).
     """
+    assert cfg.attention_head_dim is None, (
+        "SD checkpoints bake in the 8-head split; attention_head_dim "
+        "repartitioning would silently change the pretrained function"
+    )
     sd = _SD(state)
     n = len(cfg.block_out_channels)
 

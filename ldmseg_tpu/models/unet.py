@@ -51,6 +51,15 @@ class UNetConfig:
     block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
     num_attention_heads: int = 8      # SD v1 'attention_head_dim'
+    # TPU-native head partitioning: when set, heads = ch // attention_head_dim
+    # per level (e.g. 128 -> 2x160 / 5x128 / 10x128 at 320/640/1280ch).
+    # QKV/out projections stay [ch, ch] so the parameter tree is identical;
+    # only the head split changes. MXU cost of per-head attention is
+    # heads * ceil(d/128) score tiles — SD v1's 8 heads of d=40 pad 40->128
+    # lanes (3.2x waste) while 2x160 / 5x128 halve the tile count and the
+    # VPU softmax work. Must stay None for converted SD checkpoints (the
+    # pretrained weights bake in the 8-head split).
+    attention_head_dim: Optional[int] = None
     cross_attention_dim: int = 768
     use_cross_attention: bool = True  # False == reference 'remove' descriptor
     norm_num_groups: int = 32
@@ -88,6 +97,14 @@ class UNetConfig:
     def conv_in_channels(self) -> int:
         return self.in_channels + self.cond_channels
 
+    def attn_heads(self, ch: int) -> Tuple[int, int]:
+        """(heads, dim_head) for a level of width ``ch``."""
+        if self.attention_head_dim is None:
+            return self.num_attention_heads, ch // self.num_attention_heads
+        heads = max(1, ch // self.attention_head_dim)
+        assert ch % heads == 0, (ch, heads)
+        return heads, ch // heads
+
 
 def _maybe_remat(cfg: "UNetConfig"):
     """Activation checkpointing on resnet/transformer blocks
@@ -119,9 +136,10 @@ class DownBlocks(nn.Module):
                     name=f"{self.name_prefix}_{i}_resnets_{j}",
                 )(x, temb)
                 if has_attn:
+                    heads, dim_head = cfg.attn_heads(ch)
                     x = Transformer(
-                        heads=cfg.num_attention_heads,
-                        dim_head=ch // cfg.num_attention_heads,
+                        heads=heads,
+                        dim_head=dim_head,
                         use_cross_attention=cfg.use_cross_attention,
                         dtype=dt,
                         name=f"{self.name_prefix}_{i}_attentions_{j}",
@@ -285,9 +303,10 @@ class CondUNet(nn.Module):
             mid_ch, temb_channels=cfg.temb_dim, eps=1e-5, dtype=dt,
             name="mid_block_resnets_0",
         )(x, emb)
+        mid_heads, mid_dim_head = cfg.attn_heads(mid_ch)
         x = Transformer2D(
-            heads=cfg.num_attention_heads,
-            dim_head=mid_ch // cfg.num_attention_heads,
+            heads=mid_heads,
+            dim_head=mid_dim_head,
             use_cross_attention=cfg.use_cross_attention,
             dtype=dt, name="mid_block_attentions_0",
         )(x, context)
@@ -311,9 +330,10 @@ class CondUNet(nn.Module):
                     name=f"up_blocks_{i}_resnets_{j}",
                 )(x, emb)
                 if has_attn:
+                    heads, dim_head = cfg.attn_heads(ch)
                     x = Transformer(
-                        heads=cfg.num_attention_heads,
-                        dim_head=ch // cfg.num_attention_heads,
+                        heads=heads,
+                        dim_head=dim_head,
                         use_cross_attention=cfg.use_cross_attention,
                         dtype=dt, name=f"up_blocks_{i}_attentions_{j}",
                     )(x, context)

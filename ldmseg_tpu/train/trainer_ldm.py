@@ -75,6 +75,9 @@ def build_unet_config(p: Dict[str, Any]) -> UNetConfig:
         separate_encoder=mk.get("separate_encoder", False),
         add_adaptor=mk.get("add_adaptor", False),
         use_cross_attention=descriptors != "remove",
+        # TPU-native head partitioning (None = SD-v1 8-head split; required
+        # None when loading converted SD weights)
+        attention_head_dim=mk.get("attention_head_dim"),
         encoder_hid_dim=1024 if descriptors == "clip_image" else None,
         num_object_queries=128 if descriptors == "learnable" else None,
         input_dropout=p["train_kwargs"].get("dropout", 0.0),

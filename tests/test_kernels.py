@@ -101,6 +101,21 @@ def test_group_norm_pallas_bf16_and_chunking():
     )
 
 
+def test_group_norm_auto_dispatch(monkeypatch):
+    """'auto' selects the Pallas kernel only at the small-grid/wide-channel
+    shapes where it measured faster (BENCHMARKS.md: 1.6x at 16^2 x 1280)."""
+    from ldmseg_tpu.kernels.norms import _use_pallas_gn
+
+    monkeypatch.setenv("LDMSEG_GROUPNORM", "auto")
+    assert _use_pallas_gn(16 * 16, 1280)
+    assert not _use_pallas_gn(64 * 64, 320)
+    assert not _use_pallas_gn(32 * 32, 640)
+    monkeypatch.setenv("LDMSEG_GROUPNORM", "jnp")
+    assert not _use_pallas_gn(16 * 16, 1280)
+    monkeypatch.setenv("LDMSEG_GROUPNORM", "pallas")
+    assert _use_pallas_gn(64 * 64, 320)
+
+
 def test_group_norm_pallas_gradients_match_jnp():
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.normal(size=(1, 8, 8, 64)).astype(np.float32))

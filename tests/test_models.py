@@ -237,6 +237,43 @@ def test_tiny_unet_input_dropout():
     assert np.isfinite(np.asarray(out_det)).all()
 
 
+def test_attention_head_partitioning():
+    """attention_head_dim repartitions heads per level without touching the
+    parameter tree: QKV/out projections stay [ch, ch] (TPU-native knob;
+    SD v1 topology is 8 heads of d=40/80/160, reference unet.py:83-105)."""
+    cfg = UNetConfig()
+    assert cfg.attn_heads(320) == (8, 40)
+    tpu = UNetConfig(attention_head_dim=128)
+    assert tpu.attn_heads(320) == (2, 160)
+    assert tpu.attn_heads(640) == (5, 128)
+    assert tpu.attn_heads(1280) == (10, 128)
+    assert UNetConfig(attention_head_dim=256).attn_heads(96) == (1, 96)
+
+    base = tiny_unet_config()
+    part = tiny_unet_config(attention_head_dim=48)  # 32->1x32, 64->1x64, 96->2x48
+    assert part.attn_heads(96) == (2, 48)
+    x = jnp.ones((1, 16, 16, 8))
+    v_base = CondUNet(base).init(jax.random.PRNGKey(0), x, jnp.array([1]))
+    v_part = CondUNet(part).init(jax.random.PRNGKey(0), x, jnp.array([1]))
+    shapes = lambda v: jax.tree_util.tree_map(jnp.shape, v)  # noqa: E731
+    assert shapes(v_base) == shapes(v_part)
+    out = CondUNet(part).apply(v_part, x, jnp.array([1]))
+    assert out.shape == (1, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # same params, different head split => different function
+    out_base = CondUNet(base).apply(v_part, x, jnp.array([1]))
+    assert not np.allclose(np.asarray(out), np.asarray(out_base))
+
+
+def test_convert_sd_rejects_repartitioned_heads():
+    """Converted SD weights bake in the 8-head split; the converter refuses
+    attention_head_dim (reference unet.py:178-233 loads diffusers weights)."""
+    from ldmseg_tpu.models.convert import convert_sd_unet
+
+    with pytest.raises(AssertionError, match="8-head"):
+        convert_sd_unet({}, UNetConfig(attention_head_dim=128))
+
+
 def test_modify_conv_in_init_modes():
     rng = np.random.default_rng(0)
     kernel = rng.normal(size=(3, 3, 4, 8)).astype(np.float32)
