@@ -60,6 +60,7 @@ class COCOPanoptic:
         inpainting_strength: float = 0.0,
         deterministic_remap: bool = False,
         seed: int = 0,
+        decode_cache: int = 0,
     ):
         assert split in ("train", "val", "test")
         assert caption_type in ("none", "caption", "class_label", "blip")
@@ -82,6 +83,11 @@ class COCOPanoptic:
         self.pixel_threshold = 10 if self.training else 0
         self.rng = np.random.default_rng(seed)
         self.cmap = color_map()
+        # deterministic decode+filter results cached per index (0 = off);
+        # the per-read randomness (remap/crop/flip) is all downstream
+        self.decode_cache = int(decode_cache)
+        self._sem_cache: Dict[int, Any] = {}
+        self._img_cache: Dict[int, Any] = {}
         self.mask_generator = MaskingGenerator(
             input_size=inpaint_mask_size or (64, 64), mode="random_local",
             rng=self.rng,
@@ -181,11 +187,26 @@ class COCOPanoptic:
 
     # -- loading ----------------------------------------------------------
     def _load_img(self, index: int) -> Image.Image:
-        return Image.open(self.images[index]).convert("RGB")
+        if index in self._img_cache:
+            return self._img_cache[index]
+        img = Image.open(self.images[index]).convert("RGB")
+        if self.decode_cache > 0:
+            if len(self._img_cache) >= self.decode_cache:
+                self._img_cache.pop(next(iter(self._img_cache)))
+            self._img_cache[index] = img
+        return img
 
     def _load_semseg(self, index: int):
         """PNG -> id map with small/crowd filtering + contiguous category ids
-        (reference coco.py:488-538)."""
+        (reference coco.py:488-538).
+
+        Decode + filtering are deterministic per index, so the result is
+        cached (``decode_cache`` items; the random remap/crop/flip happen
+        downstream per read). The cached id map is returned read-only and is
+        never mutated by callers (remap/astype always copy).
+        """
+        if index in self._sem_cache:
+            return self._sem_cache[index]
         arr = np.array(Image.open(self.semsegs[index]).convert("RGB"))
         semseg = (
             arr[:, :, 0].astype(np.int64)
@@ -196,18 +217,21 @@ class COCOPanoptic:
         small = set()
         if self.training and self.pixel_threshold > 0:
             ids, counts = np.unique(semseg, return_counts=True)
-            for i, c in zip(ids, counts):
-                if c < self.pixel_threshold:
-                    semseg[semseg == i] = self.ignore_label
-                    small.add(int(i))
+            small_ids = ids[counts < self.pixel_threshold]
+            if small_ids.size:
+                # single vectorized membership pass, not one full-image
+                # masked write per small id
+                semseg[np.isin(semseg, small_ids)] = self.ignore_label
+                small = {int(i) for i in small_ids}
 
         key = os.path.basename(self.semsegs[index])
         keep = {}
+        crowd_ids = []
         for seg in self.annotations_dict[key]["segments_info"]:
             if seg["id"] in small:
                 continue
             if seg["iscrowd"] and self.training:
-                semseg[semseg == seg["id"]] = self.ignore_label
+                crowd_ids.append(seg["id"])
                 continue
             cat_id = seg["category_id"]
             meta = self.meta_data
@@ -223,12 +247,21 @@ class COCOPanoptic:
                 "isthing": self.cat_info[cat_id]["isthing"],
             }
 
+        if crowd_ids:
+            semseg[np.isin(semseg, crowd_ids)] = self.ignore_label
+
         image_id = key.split(".")[0]
         captions = (
             self.captions_dict.get(int(image_id), [""])
             if image_id.isdigit() else [""]
         )
-        return semseg, keep, captions, image_id + ".jpg"
+        result = (semseg, keep, captions, image_id + ".jpg")
+        if self.decode_cache > 0:
+            semseg.flags.writeable = False
+            if len(self._sem_cache) >= self.decode_cache:
+                self._sem_cache.pop(next(iter(self._sem_cache)))
+            self._sem_cache[index] = result
+        return result
 
     # -- item -------------------------------------------------------------
     def __len__(self) -> int:
@@ -363,6 +396,10 @@ class COCOExamples(COCOPanoptic):
         self.pixel_threshold = 10 if self.training else 0
         self.rng = np.random.default_rng(kw.get("seed", 0))
         self.cmap = color_map()
+        # 16 bundled images: cache all decodes by default
+        self.decode_cache = int(kw.get("decode_cache", 32))
+        self._sem_cache = {}
+        self._img_cache = {}
         self.mask_generator = MaskingGenerator(
             input_size=kw.get("inpaint_mask_size") or (64, 64),
             mode="random_local", rng=self.rng,

@@ -13,6 +13,7 @@ channel-first (n, H, W).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
@@ -33,6 +34,13 @@ def color_map(N: int = 256, normalized: bool = False) -> np.ndarray:
     return cmap
 
 
+@functools.lru_cache(maxsize=8)
+def _bit_lut(n: int, fill_value: float, ignore_label: int) -> np.ndarray:
+    lut = ((np.arange(256)[:, None] >> np.arange(n)) % 2).astype(np.float32)
+    lut[ignore_label] = fill_value
+    return lut
+
+
 def encode_bitmap(
     x: np.ndarray,
     n: int = 7,
@@ -46,6 +54,14 @@ def encode_bitmap(
     """
     x = np.asarray(x)
     ignore = x == ignore_label
+    if np.issubdtype(x.dtype, np.integer) and 0 <= ignore_label < 256:
+        # hot path (per-read at train time): one [256, n] lookup table +
+        # a single gather instead of n shift/mod passes over [H, W] temps
+        lut = _bit_lut(n, float(fill_value), int(ignore_label))
+        if x.dtype == np.uint8:
+            return lut[x], ignore
+        if x.size and 0 <= int(x.min()) and int(x.max()) < 256:
+            return lut[x], ignore
     shifts = np.arange(n, dtype=x.dtype)
     bits = ((x[..., None] >> shifts) % 2).astype(np.float32)
     bits[ignore] = fill_value
@@ -95,15 +111,19 @@ def remap_labels(
     remapped map and the old->new mapping dict.
     """
     rng = rng or np.random.default_rng()
-    unique_values = [int(v) for v in np.unique(labels) if v != ignore_label]
-    assert len(unique_values) < num_classes, (
-        f"{len(unique_values)} unique ids >= num_classes {num_classes}"
+    # one unique pass with inverse indices: the remap becomes a single
+    # gather instead of a full-image masked write per id
+    uv, inv = np.unique(labels, return_inverse=True)
+    keep = uv != ignore_label
+    n_ids = int(keep.sum())
+    assert n_ids < num_classes, (
+        f"{n_ids} unique ids >= num_classes {num_classes}"
     )
-    targets = rng.choice(num_classes - 1, size=len(unique_values), replace=False) + 1
-    mapping = dict(zip(unique_values, (int(t) for t in targets)))
-    remapped = np.full(labels.shape, ignore_label, dtype=labels.dtype)
-    for val, new_val in mapping.items():
-        remapped[labels == val] = new_val
+    targets = rng.choice(num_classes - 1, size=n_ids, replace=False) + 1
+    new_vals = np.full(uv.shape, ignore_label, dtype=labels.dtype)
+    new_vals[keep] = targets.astype(labels.dtype)
+    remapped = new_vals[inv].reshape(labels.shape)
+    mapping = dict(zip((int(v) for v in uv[keep]), (int(t) for t in targets)))
     return remapped, mapping
 
 

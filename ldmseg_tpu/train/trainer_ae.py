@@ -143,6 +143,7 @@ class TrainerAE:
             fill_value=p.get("fill_value", 0.5),
             ignore_label=self.ignore_label,
             inpainting_strength=p.get("inpainting_strength", 0.0),
+            decode_cache=p.get("decode_cache", 0),
         )
         self.ds = (
             dataset_train

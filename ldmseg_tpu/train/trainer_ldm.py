@@ -228,6 +228,7 @@ class TrainerDiffusion:
             fill_value=p.get("fill_value", 0.5),
             ignore_label=self.ignore_label,
             inpainting_strength=p.get("inpainting_strength", 0.0),
+            decode_cache=p.get("decode_cache", 0),
             tokenizer=self.tokenizer,
         )
         self.ds = (

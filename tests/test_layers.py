@@ -132,3 +132,38 @@ def test_resize_bilinear_matches_torch():
         mode="bilinear", align_corners=False,
     )
     np.testing.assert_allclose(up, ref.numpy().transpose(0, 2, 3, 1), atol=1e-5)
+
+
+def test_attention_fused_qkv_parity(monkeypatch):
+    """Fused [ch, 3*inner] projection == three separate Dense matmuls, for
+    self- and cross-attention, with an identical param tree (to_q/kernel
+    etc. — the SD converter layout, reference unet.py:178-233)."""
+    from ldmseg_tpu.models.layers import Attention
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 16, 32)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(2, 5, 24)).astype(np.float32))
+    attn = Attention(heads=2, dim_head=16, out_features=32)
+
+    monkeypatch.setenv("LDMSEG_FUSED_QKV", "0")
+    params_sep = attn.init(jax.random.PRNGKey(0), x)
+    leaf_paths = {jax.tree_util.keystr(p) for p, _ in
+                  jax.tree_util.tree_leaves_with_path(params_sep["params"])}
+    assert leaf_paths == {"['to_q']['kernel']", "['to_k']['kernel']",
+                          "['to_v']['kernel']", "['to_out']['kernel']",
+                          "['to_out']['bias']"}
+    out_sep = attn.apply(params_sep, x)
+    ctx_sep = attn.apply(attn.init(jax.random.PRNGKey(0), x, ctx), x, ctx)
+
+    monkeypatch.setenv("LDMSEG_FUSED_QKV", "1")
+    params_fused = attn.init(jax.random.PRNGKey(0), x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params_sep, params_fused,
+    )
+    out_fused = attn.apply(params_fused, x)
+    ctx_fused = attn.apply(attn.init(jax.random.PRNGKey(0), x, ctx), x, ctx)
+    np.testing.assert_allclose(np.asarray(out_sep), np.asarray(out_fused),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ctx_sep), np.asarray(ctx_fused),
+                               atol=1e-5)
