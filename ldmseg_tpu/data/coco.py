@@ -263,6 +263,24 @@ class COCOPanoptic:
             self._sem_cache[index] = result
         return result
 
+    def validate_annotations(self, verbose: bool = False) -> int:
+        """Assert every image's decoded id map matches its annotation dict
+        (reference _validate_annotations_simple, coco.py:593-602): after
+        small/crowd filtering, the PNG's unique non-ignore ids and the kept
+        segments_info keys must be identical sets. Returns the number of
+        images checked."""
+        for i in range(len(self)):
+            semseg, keep, _, _ = self._load_semseg(i)
+            ids = np.unique(semseg)
+            ids = ids[ids != self.ignore_label]
+            assert len(keep) == len(ids) and set(int(v) for v in ids) == set(
+                keep.keys()
+            ), f"annotation mismatch for {self.semsegs[i]}: {sorted(keep)} vs {ids}"
+            if verbose:
+                print(f"[{i + 1}/{len(self)}] {os.path.basename(self.semsegs[i])}: "
+                      f"{len(ids)} segments OK")
+        return len(self)
+
     # -- item -------------------------------------------------------------
     def __len__(self) -> int:
         return len(self.images)

@@ -214,3 +214,27 @@ def test_deterministic_remap_non_numeric_stem(examples_root):
     a = np.asarray(ds[0]["semseg"])
     b = np.asarray(ds[0]["semseg"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_validate_annotations_sweep(examples_root):
+    """The reference's dataset self-check (_validate_annotations_simple,
+    coco.py:593-602): every PNG's unique non-ignore ids == the kept
+    segments_info keys, across the whole dataset, train and val filtering."""
+    tf = get_val_transforms({"type": "crop_resize_pil", "size": 64})
+    for split in ("val", "train"):
+        ds = COCOExamples(examples_root, transform=tf, split=split)
+        assert ds.validate_annotations() == 16
+
+    # a corrupted annotation (extra phantom segment) must be caught
+    ds = COCOExamples(examples_root, transform=tf)
+    orig = ds._load_semseg
+
+    def corrupted(index):
+        semseg, keep, captions, key_id = orig(index)
+        keep = dict(keep)
+        keep[10 ** 6] = {"category_id": 1, "isthing": 1}
+        return semseg, keep, captions, key_id
+
+    ds._load_semseg = corrupted
+    with pytest.raises(AssertionError):
+        ds.validate_annotations()
