@@ -41,7 +41,9 @@ from ldmseg_tpu.train.checkpoint import (
 )
 from ldmseg_tpu.train.steps_ae import AEStepConfig, make_ae_train_step
 from ldmseg_tpu.utils.meters import AverageMeter, ProgressMeter
-from ldmseg_tpu.utils.metrics_logger import MetricsLogger, ProfilerHook
+from ldmseg_tpu.utils.metrics_logger import (
+    MetricsLogger, ProfilerHook, host_rss_gb,
+)
 from ldmseg_tpu.utils.visualize import colorize_ids, make_row, stack_rows, write_image
 
 
@@ -305,8 +307,11 @@ class TrainerAE:
                 if (batch_idx + 1) % self.print_freq == 0:
                     progress.display(batch_idx)
                 self.metrics_logger.log(
-                    {k: float(pending[-1][k]) for k in
-                     ("loss", "ce", "mask", "kl", "grad_norm")},
+                    dict(
+                        {k: float(pending[-1][k]) for k in
+                         ("loss", "ce", "mask", "kl", "grad_norm")},
+                        rss_gb=host_rss_gb(),
+                    ),
                     step=self.step,
                 )
                 pending.clear()
@@ -457,6 +462,12 @@ class TrainerAE:
             ),
         }
         save_checkpoint(self.results_folder, payload, config=self.p)
+        # release the multi-GB host copy promptly (see trainer_ldm.save)
+        del payload
+        import gc
+
+        gc.collect()
+        self.metrics_logger.log({"save/rss_gb": host_rss_gb()}, step=self.step)
         print(f"Saved checkpoint at epoch {epoch}")
 
     def resume(self):

@@ -53,7 +53,9 @@ from ldmseg_tpu.train.checkpoint import (
 from ldmseg_tpu.train.steps_ldm import LDMStepConfig, make_encode_fns, make_ldm_train_step
 from ldmseg_tpu.train.trainer_ae import build_seg_vae_config
 from ldmseg_tpu.utils.meters import AverageMeter, ProgressMeter
-from ldmseg_tpu.utils.metrics_logger import MetricsLogger, ProfilerHook
+from ldmseg_tpu.utils.metrics_logger import (
+    MetricsLogger, ProfilerHook, host_rss_gb,
+)
 from ldmseg_tpu.utils.visualize import (
     colorize_ids,
     make_row,
@@ -487,7 +489,8 @@ class TrainerDiffusion:
                     progress.display(batch_idx)
                 self.metrics_logger.log(
                     {"loss": float(pending[-1]["loss"]),
-                     "grad_norm": float(pending[-1]["grad_norm"])},
+                     "grad_norm": float(pending[-1]["grad_norm"]),
+                     "rss_gb": host_rss_gb()},
                     step=self.step,
                 )
                 pending.clear()
@@ -600,7 +603,8 @@ class TrainerDiffusion:
         results = evaluator.evaluate()
         if results is not None and jax.process_index() == 0:
             self.metrics_logger.log(
-                {f"val/{k}": v for k, v in results["panoptic_seg"].items()},
+                dict({f"val/{k}": v for k, v in results["panoptic_seg"].items()},
+                     rss_gb=host_rss_gb()),
                 step=self.step,
             )
         if (
@@ -673,7 +677,11 @@ class TrainerDiffusion:
             return
         batch = next(iter(self.dl))
         images = jnp.asarray(batch["image_semseg"][:1])
-        latents, _ = jax.jit(self._encode_seg)(
+        # reuse one jit wrapper across calls — a fresh jax.jit() per call
+        # leaks an executable every vis_every steps
+        if not hasattr(self, "_encode_seg_jit"):
+            self._encode_seg_jit = jax.jit(self._encode_seg)
+        latents, _ = self._encode_seg_jit(
             self.frozen["seg_vae"], images, jax.random.PRNGKey(seed)
         )
         noise = jax.random.normal(jax.random.PRNGKey(seed), latents.shape)
@@ -736,6 +744,16 @@ class TrainerDiffusion:
         # config snapshot rides along with the checkpoint (ldm_cond.py:1810)
         save_checkpoint(self.results_folder, payload, name=name,
                         config=self.p)
+        # the payload is a ~10GB host copy of the full train state; make
+        # sure nothing (orbax futures, traceback frames) pins it until the
+        # next save — long tunneled runs OOM'd at 130GB host RSS
+        del payload
+        import gc
+
+        gc.collect()
+        self.metrics_logger.log(
+            {"save/rss_gb": host_rss_gb()}, step=self.step
+        )
 
     def resume(self, load_vae: bool = True):
         """Resume a run: params, EMA, optimizer state (Adam moments +

@@ -16,6 +16,23 @@ import time
 from typing import Any, Dict, Optional
 
 
+def host_rss_gb() -> float:
+    """Resident set size of this process in GB (0.0 if unreadable).
+
+    Leak telemetry: long tunneled-TPU runs showed monotonic host RSS growth
+    tied to eval/save cycles (OOM at 130GB after ~3h); logging RSS beside
+    every epoch/save makes the growth attributable from metrics.jsonl.
+    """
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return round(int(line.split()[1]) / 1024 / 1024, 2)
+    except OSError:  # pragma: no cover
+        pass
+    return 0.0
+
+
 class MetricsLogger:
     def __init__(self, run_dir: str, use_wandb: bool = False,
                  project: str = "ldmseg-tpu", name: Optional[str] = None):
