@@ -109,13 +109,22 @@ def _flash_kernel_res(
         lse_ref[0] = m_ref[...] + jnp.log(l_ref[...])
 
 
-def _sliced_layout() -> bool:
+def _sliced_layout(h: int, d: int) -> bool:
     """Head-sliced input layout: the kernel's BlockSpec picks each head's
     d-lane window straight out of the [B, S, H*D] projection output, so no
     [B,S,H,D]->[B,H,S,D] transpose copies (and no lane-padded [BH, S, D]
     intermediates — XLA pads a 40-lane minor dim to 128 in HBM) ever
-    materialize. Opt-in pending an on-chip A/B vs the folded layout."""
-    return os.environ.get("LDMSEG_FLASH_LAYOUT", "fold") == "sliced"
+    materialize.
+
+    MEASURED DEAD END for the UNet's d=40 heads: Mosaic requires the lane
+    (minor) block dim to be a multiple of 128 or the full array dim, so a
+    40-wide head window over [B, S, 320] cannot lower (BENCHMARKS.md round
+    2). Only engaged when the window is lowerable (d % 128 == 0, or a
+    single head where the window IS the array); otherwise the folded
+    layout is used regardless of LDMSEG_FLASH_LAYOUT."""
+    if os.environ.get("LDMSEG_FLASH_LAYOUT", "fold") != "sliced":
+        return False
+    return h == 1 or d % 128 == 0
 
 
 def _flash_forward_sliced(
@@ -188,7 +197,7 @@ def _flash_forward(
     if pltpu is None:  # pragma: no cover
         raise RuntimeError("Pallas TPU backend unavailable; use mha_reference")
 
-    if not save_lse and _sliced_layout():
+    if not save_lse and _sliced_layout(h, d):
         return _flash_forward_sliced(
             q, k, v, scale=scale, bq=bq, bk=bk, interpret=interpret
         )

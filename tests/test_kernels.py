@@ -226,13 +226,14 @@ def test_flash_block_sizing_is_head_dim_aware():
         assert A._bwd_vmem_est(bq, bk, A._pad128(d)) <= A._VMEM_BUDGET
 
 
-@pytest.mark.parametrize("seq,dim,heads", [(128, 32, 2), (128, 40, 3)])
+@pytest.mark.parametrize("seq,dim,heads", [(128, 128, 2), (128, 256, 1)])
 def test_flash_attention_sliced_layout_matches_reference(
     monkeypatch, seq, dim, heads
 ):
     """Head-sliced BlockSpecs over [B, S, H*D] (no fold/unfold transposes)
-    produce identical attention, including non-128 head dims at odd lane
-    offsets (d=40 at offsets 0/40/80)."""
+    produce identical attention for LOWERABLE windows (d % 128 == 0, or a
+    single head). Mosaic cannot lower non-128 lane windows — see the gate
+    test below."""
     monkeypatch.setenv("LDMSEG_FLASH_LAYOUT", "sliced")
     rng = np.random.default_rng(7)
     b = 2
@@ -242,6 +243,34 @@ def test_flash_attention_sliced_layout_matches_reference(
     out = flash_attention(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
         None, 64, 64, True,
+    )
+    ref = mha_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_sliced_layout_gate_rejects_unlowerable_windows(monkeypatch):
+    """Mosaic requires the lane block dim to be a multiple of 128 (or the
+    full array dim); a d=40 head window over [B, S, 320] cannot lower on
+    TPU. The dispatcher must silently fall back to the folded layout for
+    such shapes even when LDMSEG_FLASH_LAYOUT=sliced, and the fallback
+    path must still match the reference."""
+    import ldmseg_tpu.kernels.attention as A
+
+    monkeypatch.setenv("LDMSEG_FLASH_LAYOUT", "sliced")
+    assert not A._sliced_layout(8, 40)   # the UNet's 64^2-level heads
+    assert not A._sliced_layout(3, 40)
+    assert A._sliced_layout(1, 512)      # SD-VAE mid-block
+    assert A._sliced_layout(2, 128)
+    monkeypatch.setenv("LDMSEG_FLASH_LAYOUT", "fold")
+    assert not A._sliced_layout(2, 128)
+
+    monkeypatch.setenv("LDMSEG_FLASH_LAYOUT", "sliced")
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=(2, 128, 3, 40)).astype(np.float32)
+    k = rng.normal(size=(2, 128, 3, 40)).astype(np.float32)
+    v = rng.normal(size=(2, 128, 3, 40)).astype(np.float32)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), None, 64, 64, True
     )
     ref = mha_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
