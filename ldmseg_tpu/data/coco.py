@@ -37,6 +37,16 @@ from .encodings import (
 from .mask_generator import MaskingGenerator
 
 
+def image_id_from_stem(stem: str) -> int:
+    """Stable integer id for an image filename stem.
+
+    COCO's zero-padded numeric names keep their numeric id (so meta ids
+    match the panoptic GT json, reference coco.py:532); non-numeric stems
+    hash via crc32 — the same derivation everywhere (sample meta, GT-json
+    synthesis) so evaluator id matching works for non-COCO names too."""
+    return int(stem) if stem.isdigit() else zlib.crc32(stem.encode())
+
+
 def coco_root(prefix: str) -> str:
     return os.path.join(prefix, "coco")
 
@@ -292,7 +302,14 @@ class COCOPanoptic:
         # An image can lose ALL its segments at load time (tiny-instance +
         # train-time crowd filtering) even though init-time filtering kept
         # it; a hard assert here would kill a long run mid-epoch. Fall
-        # forward deterministically to the next index instead.
+        # forward deterministically to the next index instead — but only
+        # when training: substituting a neighbor into the val split would
+        # silently bias PQ (one image double-counted, another never seen),
+        # so eval fails loudly like the reference.
+        if not segments_info and not self.training:
+            raise RuntimeError(
+                f"val image {self.semsegs[index]} has no segments"
+            )
         attempts = 0
         while not segments_info and attempts < len(self):
             index = (index + 1) % len(self)
@@ -355,7 +372,8 @@ class COCOPanoptic:
         sample["meta"] = {
             "im_size": (img.size[1], img.size[0]),
             "image_file": self.images[index],
-            "image_id": int(os.path.basename(self.images[index]).split(".")[0]),
+            "image_id": image_id_from_stem(
+                os.path.basename(self.images[index]).split(".")[0]),
             "segments_info": segments_info,
         }
 
@@ -464,7 +482,7 @@ class COCOExamples(COCOPanoptic):
                 for i in np.unique(ids) if i != 0
             ]
             annotations.append(
-                {"image_id": int(n), "file_name": n + ".png",
+                {"image_id": image_id_from_stem(n), "file_name": n + ".png",
                  "segments_info": segments}
             )
         data = {

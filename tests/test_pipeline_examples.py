@@ -172,9 +172,11 @@ def test_examples_random_color_and_none_encodings(examples_root):
 def test_empty_segments_falls_forward(examples_root):
     """If every segment of an image is filtered at load time, __getitem__
     falls forward to the next index instead of dying (hot-path hardening;
-    the reference would crash the epoch)."""
+    the reference would crash the epoch). Train split only — the val split
+    fails loudly instead (see test below)."""
     tf = get_val_transforms({"type": "crop_resize_pil", "size": 64})
-    ds = COCOExamples(examples_root, transform=tf, remap_labels=True)
+    ds = COCOExamples(examples_root, transform=tf, remap_labels=True,
+                      split="train")
     orig = ds._load_semseg
 
     def patched(index):
@@ -196,6 +198,23 @@ def test_empty_segments_falls_forward(examples_root):
                                return_counts=True)[1])
     np.testing.assert_array_equal(areas, areas1)
     assert np.asarray(s["semseg"]).max() > 0
+
+
+def test_empty_segments_raises_on_val(examples_root):
+    """On the val split an empty image must fail loudly: silently
+    substituting a neighbor would double-count one image and drop another
+    from PQ (the reference val path has no fallback either)."""
+    tf = get_val_transforms({"type": "crop_resize_pil", "size": 64})
+    ds = COCOExamples(examples_root, transform=tf, remap_labels=True)
+    orig = ds._load_semseg
+
+    def patched(index):
+        semseg, keep, captions, key_id = orig(index)
+        return np.zeros_like(semseg), {}, captions, key_id
+
+    ds._load_semseg = patched
+    with pytest.raises(RuntimeError, match="no segments"):
+        ds[0]
 
 
 def test_deterministic_remap_non_numeric_stem(examples_root):
