@@ -25,8 +25,75 @@ from flax import linen as nn
 
 from ldmseg_tpu.kernels.attention import multi_head_attention
 from ldmseg_tpu.kernels.norms import group_norm_silu
+from ldmseg_tpu.kernels.quant import int8_conv, int8_enabled, int8_matmul
 
 Dtype = jnp.dtype
+
+
+class _Int8Conv(nn.Module):
+    """nn.Conv-compatible params (conv/{kernel,bias}, HWIO) with the compute
+    routed through the int8 MXU path (kernels/quant.py). Instantiated in
+    place of nn.Conv when the serving-time LDMSEG_INT8 knob is on; the
+    param tree, shapes, and initializers match nn.Conv exactly, so any
+    checkpoint applies to either."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: object = "SAME"
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features), jnp.float32,
+        )
+        y = int8_conv(
+            x, kernel, stride=self.strides, padding=self.padding,
+            out_dtype=self.dtype,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class _Int8Dense(nn.Module):
+    """nn.Dense-compatible params with int8 matmul compute (see _Int8Conv)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features), jnp.float32,
+        )
+        y = int8_matmul(x, kernel, self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def _conv(features, kernel_size, strides, padding, dtype, name, use_bias=True):
+    """nn.Conv, or its int8 twin when the serving knob is on (trace-time)."""
+    if int8_enabled():
+        return _Int8Conv(features, kernel_size, strides, padding,
+                         use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Conv(features, kernel_size=kernel_size, strides=strides,
+                   padding=padding, use_bias=use_bias, dtype=dtype, name=name)
+
+
+def _dense(features, dtype, name, use_bias=True):
+    if int8_enabled():
+        return _Int8Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
 def timestep_embedding(
@@ -77,14 +144,14 @@ class Conv2d(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad = self.kernel_size // 2 if self.padding is None else self.padding
-        return nn.Conv(
+        return _conv(
             self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=[(pad, pad), (pad, pad)],
+            (self.kernel_size, self.kernel_size),
+            (self.stride, self.stride),
+            [(pad, pad), (pad, pad)],
+            self.dtype,
+            "conv",
             use_bias=self.use_bias,
-            dtype=self.dtype,
-            name="conv",
         )(x)
 
 
@@ -226,19 +293,24 @@ class Attention(nn.Module):
         wv = _ProjKernel(inner, name="to_v")(ctx.shape[-1])
         xd = x.astype(self.dtype)
         cd = ctx.astype(self.dtype)
+        if int8_enabled():
+            # per-output-channel weight scales make the concat equivalent
+            # to three separate int8 projections
+            mm = lambda a, w_: int8_matmul(a, w_, self.dtype)  # noqa: E731
+        else:
+            mm = lambda a, w_: a @ w_.astype(self.dtype)  # noqa: E731
         if context is None and _fuse_qkv():
-            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
-            q, k, v = jnp.split(xd @ w, 3, axis=-1)
+            w = jnp.concatenate([wq, wk, wv], axis=1)
+            q, k, v = jnp.split(mm(xd, w), 3, axis=-1)
         elif _fuse_qkv():
-            q = xd @ wq.astype(self.dtype)
+            q = mm(xd, wq)
             k, v = jnp.split(
-                cd @ jnp.concatenate([wk, wv], axis=1).astype(self.dtype),
-                2, axis=-1,
+                mm(cd, jnp.concatenate([wk, wv], axis=1)), 2, axis=-1
             )
         else:
-            q = xd @ wq.astype(self.dtype)
-            k = cd @ wk.astype(self.dtype)
-            v = cd @ wv.astype(self.dtype)
+            q = mm(xd, wq)
+            k = mm(cd, wk)
+            v = mm(cd, wv)
         b, sq, _ = q.shape
         sk = k.shape[1]
         q = q.reshape(b, sq, self.heads, self.dim_head)
@@ -246,7 +318,7 @@ class Attention(nn.Module):
         v = v.reshape(b, sk, self.heads, self.dim_head)
         o = multi_head_attention(q, k, v)  # [B, Sq, H, D]
         o = o.reshape(b, sq, inner)
-        return nn.Dense(self.out_features, dtype=self.dtype, name="to_out")(o)
+        return _dense(self.out_features, self.dtype, "to_out")(o)
 
 
 class FeedForwardGEGLU(nn.Module):
@@ -259,10 +331,10 @@ class FeedForwardGEGLU(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = self.dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
+        h = _dense(inner * 2, self.dtype, "proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * jax.nn.gelu(gate)
-        return nn.Dense(self.dim, dtype=self.dtype, name="out")(h)
+        return _dense(self.dim, self.dtype, "out")(h)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -340,9 +412,8 @@ class Downsample2D(nn.Module):
             pad = [(0, 0), (0, 0)]
         else:
             pad = [(1, 1), (1, 1)]
-        return nn.Conv(
-            self.features, kernel_size=(3, 3), strides=(2, 2), padding=pad,
-            dtype=self.dtype, name="conv",
+        return _conv(
+            self.features, (3, 3), (2, 2), pad, self.dtype, "conv"
         )(x)
 
 
@@ -358,9 +429,9 @@ class Upsample2D(nn.Module):
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         # nn.Conv directly (like Downsample2D) so the param path is
         # upsamplers_0/conv/kernel, matching the converter layout
-        return nn.Conv(
-            self.features, kernel_size=(3, 3), padding=[(1, 1), (1, 1)],
-            dtype=self.dtype, name="conv",
+        return _conv(
+            self.features, (3, 3), (1, 1), [(1, 1), (1, 1)], self.dtype,
+            "conv",
         )(x)
 
 
@@ -376,13 +447,13 @@ class VAEAttention(nn.Module):
         residual = x
         x = GroupNorm(self.groups, 1e-6, dtype=self.dtype, name="group_norm")(x)
         x = x.reshape(b, h * w, c)
-        q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
-        v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
+        q = _dense(c, self.dtype, "to_q")(x)
+        k = _dense(c, self.dtype, "to_k")(x)
+        v = _dense(c, self.dtype, "to_v")(x)
         o = multi_head_attention(
             q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
         )[:, :, 0, :]
-        o = nn.Dense(c, dtype=self.dtype, name="to_out")(o)
+        o = _dense(c, self.dtype, "to_out")(o)
         return o.reshape(b, h, w, c) + residual
 
 

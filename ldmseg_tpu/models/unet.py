@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
 
+from ldmseg_tpu.kernels.quant import quant_scope
+
 from .layers import (
     Conv2d,
     ConvTranspose2x2,
@@ -181,6 +183,22 @@ class CondUNet(nn.Module):
         self,
         sample: jnp.ndarray,                      # [B, H, W, C_in(+cond)]
         timestep: jnp.ndarray,                    # scalar or [B]
+        encoder_hidden_states: Optional[jnp.ndarray] = None,
+        timestep_img: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        dropout_rng: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        # mark the trace so LDMSEG_INT8=unet quantizes only this model
+        with quant_scope("unet"):
+            return self._forward(
+                sample, timestep, encoder_hidden_states, timestep_img,
+                deterministic, dropout_rng,
+            )
+
+    def _forward(
+        self,
+        sample: jnp.ndarray,
+        timestep: jnp.ndarray,
         encoder_hidden_states: Optional[jnp.ndarray] = None,
         timestep_img: Optional[jnp.ndarray] = None,
         deterministic: bool = True,

@@ -1,0 +1,130 @@
+"""Int8 serving-quantization tests (kernels/quant.py + layers wiring).
+
+CPU-runnable: XLA lowers int8 dot/conv with int32 accumulation on every
+backend; on-chip throughput is measured separately (BENCHMARKS.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldmseg_tpu.kernels.quant import (
+    int8_conv,
+    int8_enabled,
+    int8_matmul,
+    quant_scope,
+    quantize_per_channel,
+    quantize_per_tensor,
+)
+
+
+def test_quantize_per_tensor_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 32)) * 3.0
+    q, s = quantize_per_tensor(x)
+    assert q.dtype == jnp.int8
+    err = np.abs(np.asarray(q, np.float32) * float(s) - np.asarray(x))
+    assert err.max() <= float(s) / 2 + 1e-6  # round-to-nearest bound
+
+
+def test_quantize_per_channel_scales_independent():
+    w = jnp.stack([jnp.ones((8,)) * 0.01, jnp.ones((8,)) * 100.0], axis=1)
+    q, s = quantize_per_channel(w, channel_axis=1)
+    # both columns use their own scale -> both hit the full int8 range
+    assert int(jnp.max(jnp.abs(q[:, 0]))) == 127
+    assert int(jnp.max(jnp.abs(q[:, 1]))) == 127
+    np.testing.assert_allclose(
+        np.asarray(q, np.float32) * np.asarray(s), np.asarray(w), rtol=1e-2
+    )
+
+
+def test_int8_matmul_close_to_fp32():
+    k = jax.random.PRNGKey(1)
+    x = jax.random.normal(k, (128, 96))
+    w = jax.random.normal(jax.random.PRNGKey(2), (96, 64)) * 0.05
+    ref = x @ w
+    out = int8_matmul(x, w, jnp.float32)
+    rel = np.linalg.norm(np.asarray(out - ref)) / np.linalg.norm(np.asarray(ref))
+    assert rel < 0.02, rel
+
+
+def test_int8_conv_close_to_fp32():
+    k = jax.random.PRNGKey(3)
+    x = jax.random.normal(k, (2, 16, 16, 8))
+    w = jax.random.normal(jax.random.PRNGKey(4), (3, 3, 8, 12)) * 0.1
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = int8_conv(x, w, stride=(1, 1), padding=[(1, 1), (1, 1)],
+                    out_dtype=jnp.float32)
+    rel = np.linalg.norm(np.asarray(out - ref)) / np.linalg.norm(np.asarray(ref))
+    assert rel < 0.03, rel
+
+
+def test_scope_gating(monkeypatch):
+    monkeypatch.setenv("LDMSEG_INT8", "unet")
+    assert not int8_enabled()
+    with quant_scope("unet"):
+        assert int8_enabled()
+        with quant_scope("vae"):
+            assert int8_enabled()  # still inside the unet extent
+    assert not int8_enabled()
+    monkeypatch.setenv("LDMSEG_INT8", "1")
+    assert int8_enabled()
+    monkeypatch.setenv("LDMSEG_INT8", "0")
+    assert not int8_enabled()
+
+
+def test_param_tree_identical_and_outputs_close(monkeypatch):
+    """The int8 twins must expose nn.Conv/nn.Dense-identical param trees so
+    any checkpoint applies in either mode, and a trained-scale forward must
+    stay close to the bf16 one."""
+    from ldmseg_tpu.models.unet import CondUNet, tiny_unet_config
+
+    cfg = tiny_unet_config()
+    model = CondUNet(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 8)) * 0.5
+    t = jnp.array([7])
+
+    monkeypatch.setenv("LDMSEG_INT8", "0")
+    params = model.init(jax.random.PRNGKey(1), x, t)["params"]
+    ref = model.apply({"params": params}, x, t)
+
+    monkeypatch.setenv("LDMSEG_INT8", "1")
+    params_q = model.init(jax.random.PRNGKey(1), x, t)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_q
+    )
+    shapes = jax.tree_util.tree_map(lambda a, b: a.shape == b.shape, params, params_q)
+    assert all(jax.tree_util.tree_leaves(shapes))
+
+    out = model.apply({"params": params}, x, t)  # same params, int8 compute
+    rel = np.linalg.norm(np.asarray(out - ref)) / (
+        np.linalg.norm(np.asarray(ref)) + 1e-8
+    )
+    assert rel < 0.2, rel  # random-init net; layered int8 error stays bounded
+
+
+def test_unet_scope_excludes_vae(monkeypatch):
+    """LDMSEG_INT8=unet must leave the VAEs byte-identical to bf16."""
+    from ldmseg_tpu.models.vae_sd import SDVAE, SDVAEConfig
+
+    cfg = SDVAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                      norm_num_groups=4)
+    model = SDVAE(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3))
+
+    monkeypatch.setenv("LDMSEG_INT8", "0")
+    params = model.init({"params": jax.random.PRNGKey(1)}, x, None, False)["params"]
+    ref = model.apply(
+        {"params": params}, x, None, False,
+        method=lambda m, a, r, sp: m.encode(a, r, sample_posterior=sp),
+    )
+
+    monkeypatch.setenv("LDMSEG_INT8", "unet")
+    out = model.apply(
+        {"params": params}, x, None, False,
+        method=lambda m, a, r, sp: m.encode(a, r, sample_posterior=sp),
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
