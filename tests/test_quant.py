@@ -105,6 +105,34 @@ def test_param_tree_identical_and_outputs_close(monkeypatch):
     assert rel < 0.2, rel  # random-init net; layered int8 error stays bounded
 
 
+def test_int8_sampling_scan_compiles_and_is_finite(monkeypatch):
+    """The full DDIM scan must trace/compile with int8 layers inside: the
+    weight quantization is loop-invariant (hoisted by XLA like the bf16
+    converts) and the outputs stay finite over 4 steps."""
+    from ldmseg_tpu.diffusion.ddim import make_schedule
+    from ldmseg_tpu.diffusion.sampling import ddim_sample
+    from ldmseg_tpu.models.unet import CondUNet, tiny_unet_config
+
+    monkeypatch.setenv("LDMSEG_INT8", "unet")
+    cfg = tiny_unet_config()
+    model = CondUNet(cfg)
+    rgb = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4)) * 0.3
+    x = jnp.concatenate([rgb, rgb], axis=-1)
+    params = model.init(jax.random.PRNGKey(1), x, jnp.array([0]))["params"]
+    sched = make_schedule(num_train_timesteps=1000)
+
+    def denoise(inputs, t, context):
+        return model.apply({"params": params}, inputs,
+                           jnp.full((inputs.shape[0],), t))[..., :4]
+
+    out = jax.jit(
+        lambda r: ddim_sample(denoise, sched, r, rgb, num_inference_steps=4,
+                              latent_shape=(1, 8, 8, 4))
+    )(jax.random.PRNGKey(2))
+    assert out.shape == (1, 8, 8, 4)
+    assert bool(jnp.isfinite(out).all())
+
+
 def test_unet_scope_excludes_vae(monkeypatch):
     """LDMSEG_INT8=unet must leave the VAEs byte-identical to bf16."""
     from ldmseg_tpu.models.vae_sd import SDVAE, SDVAEConfig
