@@ -38,7 +38,36 @@ H100_ESTIMATE_IMG_PER_S = 2.0
 TARGET = 4.0 * H100_ESTIMATE_IMG_PER_S
 
 
+def _wait_for_backend():
+    """The tunneled TPU backend occasionally refuses to initialize for a
+    while (UNAVAILABLE at PJRT client creation, or an init hang). Probe it
+    in a subprocess (so a hang can't wedge this process) and retry for up
+    to BENCH_INIT_WAIT_S before committing to the in-process init."""
+    import subprocess
+    max_wait = float(os.environ.get("BENCH_INIT_WAIT_S", "900"))
+    deadline = time.time() + max_wait
+    attempt = 0
+    while True:
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=240, capture_output=True,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return True
+        attempt += 1
+        if time.time() >= deadline:
+            print(f"# backend probe still failing after {attempt} attempts; "
+                  "proceeding anyway", file=sys.stderr)
+            return False
+        print(f"# backend probe failed (rc={rc}); retrying", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
+    _wait_for_backend()
     import jax
     import jax.numpy as jnp
 
@@ -229,7 +258,10 @@ def main():
         "vs_baseline": round(images_per_sec_per_chip / TARGET, 4),
         # this box is a v5e (~43% of v5p bf16 peak); the 8.0 target is v5p
         "notes": (f"v5e measurement; v5p-normalized ~"
-                  f"{images_per_sec_per_chip / 0.43:.2f} img/s/chip"),
+                  f"{images_per_sec_per_chip / 0.43:.2f} img/s/chip"
+                  + (f"; int8={os.environ['LDMSEG_INT8']}"
+                     if os.environ.get("LDMSEG_INT8", "0") not in ("0", "")
+                     else "")),
     }))
 
 
