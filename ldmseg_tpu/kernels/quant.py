@@ -68,8 +68,31 @@ def int8_enabled() -> bool:
     return mode in _SCOPES
 
 
+@jax.custom_vjp
+def _no_grad_guard(x: jnp.ndarray) -> jnp.ndarray:
+    """Identity whose backward raises: the int8 path is serving-only, and
+    differentiating through round() would otherwise yield silent zero
+    gradients — turn that into a loud trace-time error instead."""
+    return x
+
+
+def _no_grad_guard_fwd(x):
+    return x, None
+
+
+def _no_grad_guard_bwd(_, g):
+    raise NotImplementedError(
+        "the LDMSEG_INT8 serving path is not differentiable; unset "
+        "LDMSEG_INT8 for training"
+    )
+
+
+_no_grad_guard.defvjp(_no_grad_guard_fwd, _no_grad_guard_bwd)
+
+
 def quantize_per_tensor(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-tensor int8: returns (q, scale) with x ~= q * scale."""
+    x = _no_grad_guard(x)
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
     scale = jnp.maximum(amax, 1e-6) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)

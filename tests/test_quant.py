@@ -61,6 +61,14 @@ def test_int8_conv_close_to_fp32():
     assert rel < 0.03, rel
 
 
+def test_int8_grad_raises_loudly():
+    """Differentiating through the serving path must error at trace time,
+    not silently return zero gradients (training with LDMSEG_INT8 set)."""
+    w = jnp.ones((4, 4))
+    with pytest.raises(NotImplementedError, match="not differentiable"):
+        jax.grad(lambda x: int8_matmul(x, w, jnp.float32).sum())(jnp.ones((2, 4)))
+
+
 def test_scope_gating(monkeypatch):
     monkeypatch.setenv("LDMSEG_INT8", "unet")
     assert not int8_enabled()
