@@ -69,10 +69,20 @@ def build_unet_config(p: Dict[str, Any]) -> UNetConfig:
     mk = p["model_kwargs"]
     descriptors = p["train_kwargs"].get("image_descriptors", "remove")
     cond_channels = mk.get("cond_channels", 0)
+    # optional structural dims (default = SD v1-4 topology) so non-SD-sized
+    # denoisers round-trip through config snapshots (tools/eval_run.py)
+    structural = {
+        k: (tuple(mk[k]) if k == "block_out_channels" else mk[k])
+        for k in ("block_out_channels", "layers_per_block",
+                  "num_attention_heads", "cross_attention_dim",
+                  "norm_num_groups")
+        if mk.get(k) is not None
+    }
     return UNetConfig(
         in_channels=mk.get("in_channels", 8),
         out_channels=4,
         cond_channels=cond_channels,
+        **structural,
         separate_conv=mk.get("separate_conv", False),
         separate_encoder=mk.get("separate_encoder", False),
         add_adaptor=mk.get("add_adaptor", False),
@@ -158,9 +168,14 @@ class TrainerDiffusion:
         # models -----------------------------------------------------------
         self.vae_cfg = build_seg_vae_config(p)
         self.seg_vae = SegVAE(self.vae_cfg)
+        # optional structural dims (default = SD v1-4 VAE) so non-SD-sized
+        # runs round-trip through config snapshots (tools/eval_run.py)
+        sdk = p.get("sd_vae_kwargs") or {}
         self.sd_vae_cfg = sd_vae_cfg or SDVAEConfig(
             scaling_factor=p.get("image_scaling_factor", 0.18215),
             dtype=tk.get("weight_dtype", "float32"),
+            **{k: (tuple(v) if k == "block_out_channels" else v)
+               for k, v in sdk.items()},
         )
         self.sd_vae = SDVAE(self.sd_vae_cfg)
         self.unet_cfg = unet_cfg or build_unet_config(p)

@@ -1,0 +1,60 @@
+"""tools/eval_run.py: offline PQ eval replayed from a config snapshot.
+
+A tiny LDM run (non-SD structural dims carried in model_kwargs /
+sd_vae_kwargs) is saved, then the tool rebuilds trainer + models purely
+from the snapshot and runs the generative eval — the reference eval.sh
+workflow (tools/main_ldm.py:219-232) without retyping overrides."""
+
+import importlib.util
+import os
+import shutil
+
+import jax
+import pytest
+
+from ldmseg_tpu.core import MeshSpec, make_mesh
+
+from test_trainers import tiny_config  # noqa: F401  (helper, not fixture)
+
+REF_EXAMPLES = "/root/reference/data/examples/coco"
+
+
+@pytest.fixture(scope="module")
+def examples_root(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("ex")
+    shutil.copytree(REF_EXAMPLES, dst / "coco", dirs_exist_ok=True)
+    return str(dst / "coco")
+
+
+def _load_tool():
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", "eval_run.py")
+    spec = importlib.util.spec_from_file_location("eval_run", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_eval_run_replays_snapshot(tmp_path, examples_root):
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+
+    p = tiny_config(tmp_path, size=64)
+    p["data_dir"] = examples_root
+    # tiny structural dims ride in the snapshot so eval_run rebuilds the
+    # same models without explicit cfg objects
+    p["model_kwargs"].update(
+        block_out_channels=[32, 32, 64], layers_per_block=1,
+        num_attention_heads=4, cross_attention_dim=32, norm_num_groups=8,
+    )
+    p["sd_vae_kwargs"] = {"block_out_channels": [8, 8], "layers_per_block": 1,
+                          "norm_num_groups": 4, "latent_channels": 4}
+    run_dir = str(tmp_path / "run")
+    mesh = make_mesh(MeshSpec(data=1, fsdp=1), devices=jax.devices()[:1])
+    trainer = TrainerDiffusion(p, mesh=mesh, results_folder=run_dir)
+    trainer.save(epoch=0, name="best_model")
+
+    out = _load_tool().main([
+        run_dir, "--cpu", "--ckpt", "best_model", "--steps", "2",
+        "--max-iter", "1", "--batch-size", "2", "--seed", "0",
+    ])
+    assert out is None  # ran to completion; PQ of a random net may be 0
+    assert os.path.isdir(os.path.join(run_dir, "best_model"))
