@@ -12,7 +12,7 @@ Design principles (TPU-first, not a port):
   * NHWC layouts everywhere (channels ride the 128-wide lane dimension).
   * Pure-functional models (flax.linen) + jitted train/sample steps.
   * DDIM math as pure functions over precomputed fp32 tables.
-  * SPMD via jax.sharding.Mesh ('data', 'fsdp') axes; gradient all-reduce,
+  * SPMD via jax.sharding.Mesh ('data', 'fsdp', 'sp') axes; gradient all-reduce,
     ZeRO-1 optimizer sharding and metric reductions fall out of shardings
     instead of explicit NCCL calls.
   * Pallas kernels for the hot ops (flash attention over latent grids,

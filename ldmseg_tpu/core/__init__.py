@@ -5,7 +5,15 @@ from .config import (
     prepare_run_dirs,
     enable_compile_cache,
 )
-from .mesh import MeshSpec, make_mesh, batch_sharding, replicated_sharding, shard_params_fsdp
+from .mesh import (
+    MeshSpec,
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_params_fsdp,
+    sp_scope,
+    spatial_sharding,
+)
 from .dtypes import DTypePolicy
 
 __all__ = [

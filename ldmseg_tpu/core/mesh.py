@@ -13,6 +13,12 @@ TPU-natively both collapse into sharding annotations over a
     trainers_ldm_cond.py:864-868).
   * ``fsdp``  — parameter/optimizer-state sharding (ZeRO-style). With
     ``fsdp=1`` this degenerates to plain DP with replicated params.
+  * ``sp``    — spatial partitioning of the activation grid (rows of the
+    NHWC feature maps). Beyond the reference (which is DP-only): lets a
+    single high-resolution sample run across chips — XLA SPMD inserts
+    halo exchanges for the convolutions, and attention runs sequence-
+    parallel via ``shard_map`` (kernels/attention.py). With ``sp=1``
+    (default) nothing changes.
 
 Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
 shard the input pipeline by ``jax.process_index()``.
@@ -20,6 +26,7 @@ shard the input pipeline by ``jax.process_index()``.
 
 from __future__ import annotations
 
+import contextlib
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence
 
@@ -32,23 +39,59 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 class MeshSpec:
     data: int = -1  # -1: all remaining devices
     fsdp: int = 1
+    sp: int = 1
 
     def resolve(self, n_devices: int) -> "MeshSpec":
         data = self.data
         if data == -1:
-            assert n_devices % self.fsdp == 0, (n_devices, self.fsdp)
-            data = n_devices // self.fsdp
-        assert data * self.fsdp == n_devices, (
-            f"mesh {data}x{self.fsdp} != {n_devices} devices"
+            assert n_devices % (self.fsdp * self.sp) == 0, (
+                n_devices, self.fsdp, self.sp
+            )
+            data = n_devices // (self.fsdp * self.sp)
+        assert data * self.fsdp * self.sp == n_devices, (
+            f"mesh {data}x{self.fsdp}x{self.sp} != {n_devices} devices"
         )
-        return MeshSpec(data=data, fsdp=self.fsdp)
+        return MeshSpec(data=data, fsdp=self.fsdp, sp=self.sp)
 
 
 def make_mesh(spec: Optional[MeshSpec] = None, devices: Optional[Sequence[Any]] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     spec = (spec or MeshSpec()).resolve(len(devices))
-    dev_array = np.asarray(devices).reshape(spec.data, spec.fsdp)
-    return Mesh(dev_array, axis_names=("data", "fsdp"))
+    dev_array = np.asarray(devices).reshape(spec.data, spec.fsdp, spec.sp)
+    return Mesh(dev_array, axis_names=("data", "fsdp", "sp"))
+
+
+# trace-time spatial-partitioning scope (same pattern as the kernels' env
+# knobs and quant_scope: the branch is decided while tracing, so a context
+# manager around the traced extent is sufficient and explicit)
+_SP_MESH: list = []
+
+
+@contextlib.contextmanager
+def sp_scope(mesh: Mesh):
+    """Mark a trace extent as spatially partitioned over the mesh's ``sp``
+    axis: attention dispatches sequence-parallel (kernels/attention.py) and
+    callers should constrain NHWC activations with ``spatial_sharding``.
+    No-op when the mesh has no sp axis or sp == 1."""
+    _SP_MESH.append(mesh)
+    try:
+        yield
+    finally:
+        _SP_MESH.pop()
+
+
+def current_sp_mesh() -> Optional[Mesh]:
+    """The active sp mesh, or None when not spatially partitioned."""
+    for mesh in reversed(_SP_MESH):
+        if mesh.shape.get("sp", 1) > 1:
+            return mesh
+    return None
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC activations with rows sharded over the sp axis (batch over
+    data x fsdp as in ``batch_sharding``)."""
+    return NamedSharding(mesh, P(("data", "fsdp"), "sp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

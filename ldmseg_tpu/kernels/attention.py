@@ -25,6 +25,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+try:
+    from jax import shard_map  # public since jax 0.7
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ldmseg_tpu.core.mesh import current_sp_mesh
 
 try:  # pltpu only imports cleanly on TPU-capable builds
     from jax.experimental.pallas import tpu as pltpu
@@ -606,9 +612,42 @@ def multi_head_attention(
 ) -> jnp.ndarray:
     """Dispatch: Pallas flash attention on TPU, jnp reference elsewhere.
 
+    Inside an active ``core.mesh.sp_scope`` (spatially partitioned serving,
+    mesh sp axis > 1) the computation runs sequence-parallel via shard_map:
+    each sp shard keeps its local Q rows and all-gathers K/V over the sp
+    axis (one ICI all-gather per attention; the latent K/V are small —
+    4096 x d per head at 512^2). The reference has no sequence/spatial
+    parallelism at all (SURVEY §5: absent); this is the TPU-native lever
+    for resolutions whose activations exceed one chip.
+
     Env overrides: LDMSEG_ATTENTION={auto,flash,reference},
     LDMSEG_FLASH_BLOCK_Q / LDMSEG_FLASH_BLOCK_K (default 512).
     """
+    mesh = current_sp_mesh()
+    if mesh is not None and q.shape[1] % mesh.shape["sp"] == 0 and q.shape[1] > 1:
+        from jax.sharding import PartitionSpec as P
+
+        # batch stays sharded over data x fsdp when divisible (serving
+        # meshes are usually (1, 1, sp); combined DP x SP also works)
+        dp = mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1)
+        bspec = ("data", "fsdp") if q.shape[0] % dp == 0 and dp > 1 else None
+        spec = P(bspec, "sp", None, None)
+
+        def local(ql, kl, vl):
+            kf = jax.lax.all_gather(kl, "sp", axis=1, tiled=True)
+            vf = jax.lax.all_gather(vl, "sp", axis=1, tiled=True)
+            return _mha_dispatch(ql, kf, vf, scale)
+
+        return shard_map(
+            local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+        )(q, k, v)
+    return _mha_dispatch(q, k, v, scale)
+
+
+def _mha_dispatch(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: Optional[float] = None
+) -> jnp.ndarray:
+    """Single-shard dispatch: flash kernel when the shape gates allow."""
     # defaults from the TPU v5e block sweep (BENCHMARKS.md): q=2048, k=1024
     # is ~30% faster than 512x512 on the 4096-token latent grids
     bq = int(os.environ.get("LDMSEG_FLASH_BLOCK_Q", "2048"))

@@ -9,8 +9,10 @@ Scheme (standard dynamic post-training quantization, serving-only):
   * weights: symmetric per-output-channel int8, quantized in-graph from the
     checkpoint params — loop-invariant, so XLA hoists the quantization out
     of the DDIM sampling scan exactly like the fp32->bf16 weight converts;
-  * activations: symmetric per-tensor dynamic int8 (abs-max observed on the
-    live tensor each call);
+  * activations: symmetric dynamic int8 — per-tensor abs-max by default, or
+    per-token (matmul) / per-sample (conv) scales with LDMSEG_INT8_ACT=row
+    (the finest exact granularities; a fallback if the per-tensor quality
+    gate fails);
   * accumulation in int32, dequantized by (scale_x * scale_w[co]) in fp32,
     bias added afterwards in the compute dtype.
 
@@ -90,10 +92,48 @@ def _no_grad_guard_bwd(_, g):
 _no_grad_guard.defvjp(_no_grad_guard_fwd, _no_grad_guard_bwd)
 
 
+def act_granularity() -> str:
+    """Activation-scale granularity knob (read per trace).
+
+    LDMSEG_INT8_ACT=tensor  one scale per activation tensor (default)
+    LDMSEG_INT8_ACT=row     per-token scales for matmuls ([..., 1] over the
+                            contraction dim) and per-sample scales for convs
+                            ([N,1,1,1]) — the finest granularities that stay
+                            exact (the scale is constant across every
+                            contraction axis), recovering most of the
+                            per-tensor quantization error for outlier tokens
+                            at the cost of a slightly larger dequant multiply.
+    """
+    gran = os.environ.get("LDMSEG_INT8_ACT", "tensor")
+    if gran not in ("tensor", "row"):
+        raise ValueError(f"LDMSEG_INT8_ACT must be 'tensor' or 'row', got {gran!r}")
+    return gran
+
+
 def quantize_per_tensor(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-tensor int8: returns (q, scale) with x ~= q * scale."""
     x = _no_grad_guard(x)
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def quantize_activations(
+    x: jnp.ndarray, contract_axes: Sequence[int]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 activations at the configured granularity.
+
+    Returns (q, scale) with scale shaped to broadcast against x (size 1 on
+    every axis in ``contract_axes``, which must cover all contraction axes
+    of the consuming matmul/conv for the dequant to be exact).
+    """
+    if act_granularity() == "tensor":
+        q, s = quantize_per_tensor(x)
+        return q, jnp.reshape(s, (1,) * x.ndim)
+    x = _no_grad_guard(x)
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=tuple(contract_axes),
+                   keepdims=True)
     scale = jnp.maximum(amax, 1e-6) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
     return q.astype(jnp.int8), scale
@@ -129,7 +169,7 @@ def int8_conv(
     scan XLA hoists it next to the (also hoisted) bf16 weight converts, so
     the per-step cost is the int8 conv plus one quantize pass over x.
     """
-    xq, sx = quantize_per_tensor(x)
+    xq, sx = quantize_activations(x, contract_axes=(1, 2, 3))  # [N,1,1,1]
     wq, sw = quantize_per_channel(w, channel_axis=3)  # [1,1,1,Co]
     acc = jax.lax.conv_general_dilated(
         xq, wq, tuple(stride), padding,
@@ -142,7 +182,7 @@ def int8_conv(
 
 def int8_matmul(x: jnp.ndarray, w: jnp.ndarray, out_dtype: jnp.dtype) -> jnp.ndarray:
     """[..., K] x [K, N] int8 matmul with int32 accumulation."""
-    xq, sx = quantize_per_tensor(x)
+    xq, sx = quantize_activations(x, contract_axes=(x.ndim - 1,))  # [..., 1]
     wq, sw = quantize_per_channel(w, channel_axis=1)  # [1, N]
     acc = jax.lax.dot_general(
         xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),

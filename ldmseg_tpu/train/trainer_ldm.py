@@ -21,7 +21,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ldmseg_tpu.core.mesh import batch_sharding, make_mesh, replicated_sharding
+from ldmseg_tpu.core.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    sp_scope,
+    spatial_sharding,
+)
 from ldmseg_tpu.data.coco import get_dataset
 from ldmseg_tpu.data.loader import DataLoader
 from ldmseg_tpu.data.transforms import get_train_transforms, get_val_transforms
@@ -378,7 +384,18 @@ class TrainerDiffusion:
                      uncond_context=None,
                      inpaint_mask=None, known_latents=None,
                      num_inference_steps=50, repeat_noise=False):
+        # spatial partitioning (mesh sp axis > 1): shard the latent rows
+        # across chips — convs get XLA halo exchange, attention dispatches
+        # sequence-parallel (kernels/attention.py). Entered inside the
+        # traced fn so every retrace sees it.
+        sp_active = self.mesh.shape.get("sp", 1) > 1
+
         def denoise(inputs, t, ctx):
+            if sp_active:
+                inputs = jax.lax.with_sharding_constraint(
+                    inputs, spatial_sharding(self.mesh))
+                with sp_scope(self.mesh):
+                    return self.unet.apply({"params": params}, inputs, t, ctx)
             return self.unet.apply({"params": params}, inputs, t, ctx)
 
         return ddim_sample(
@@ -395,6 +412,15 @@ class TrainerDiffusion:
 
     def _decode_impl(self, seg_params, latents):
         z = latents / self.vae_cfg.scaling_factor
+        if self.mesh.shape.get("sp", 1) > 1:
+            # decode has the largest activations (128-way logits at full
+            # resolution) — keep its rows spatially sharded too
+            z = jax.lax.with_sharding_constraint(z, spatial_sharding(self.mesh))
+            with sp_scope(self.mesh):
+                return self.seg_vae.apply(
+                    {"params": seg_params}, z, True,
+                    method=lambda m, a, interp: m.decode(a, interpolate=interp),
+                )
         return self.seg_vae.apply(
             {"params": seg_params}, z, True,
             method=lambda m, a, interp: m.decode(a, interpolate=interp),

@@ -61,6 +61,51 @@ def test_int8_conv_close_to_fp32():
     assert rel < 0.03, rel
 
 
+def test_rowwise_act_scales_beat_per_tensor_on_outlier_tokens(monkeypatch):
+    """LDMSEG_INT8_ACT=row gives each token its own scale, so one outlier
+    row must not destroy the quantization of the others (it does with a
+    single per-tensor scale)."""
+    k = jax.random.PRNGKey(5)
+    x = jax.random.normal(k, (64, 96))
+    x = x.at[0].mul(100.0)  # outlier token
+    w = jax.random.normal(jax.random.PRNGKey(6), (96, 32)) * 0.05
+    ref = np.asarray(x @ w)
+
+    monkeypatch.setenv("LDMSEG_INT8_ACT", "tensor")
+    err_tensor = np.linalg.norm(
+        np.asarray(int8_matmul(x, w, jnp.float32)) - ref)
+    monkeypatch.setenv("LDMSEG_INT8_ACT", "row")
+    err_row = np.linalg.norm(np.asarray(int8_matmul(x, w, jnp.float32)) - ref)
+    assert err_row < err_tensor / 5, (err_row, err_tensor)
+
+    # conv: per-sample scales, one outlier image
+    xc = jax.random.normal(k, (3, 8, 8, 8)).at[0].mul(50.0)
+    wc = jax.random.normal(jax.random.PRNGKey(7), (3, 3, 8, 8)) * 0.1
+    refc = np.asarray(jax.lax.conv_general_dilated(
+        xc, wc, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    # the outlier image's own quantization noise is scale-proportional and
+    # identical in both modes — the per-sample win is on the OTHER images,
+    # so measure the error restricted to them
+    monkeypatch.setenv("LDMSEG_INT8_ACT", "tensor")
+    errc_tensor = np.linalg.norm((np.asarray(
+        int8_conv(xc, wc, stride=(1, 1), padding=[(1, 1), (1, 1)],
+                  out_dtype=jnp.float32)) - refc)[1:])
+    monkeypatch.setenv("LDMSEG_INT8_ACT", "row")
+    errc_row = np.linalg.norm((np.asarray(
+        int8_conv(xc, wc, stride=(1, 1), padding=[(1, 1), (1, 1)],
+                  out_dtype=jnp.float32)) - refc)[1:])
+    assert errc_row < errc_tensor / 5, (errc_row, errc_tensor)
+
+
+def test_act_granularity_rejects_unknown(monkeypatch):
+    from ldmseg_tpu.kernels.quant import act_granularity
+
+    monkeypatch.setenv("LDMSEG_INT8_ACT", "channel")
+    with pytest.raises(ValueError, match="LDMSEG_INT8_ACT"):
+        act_granularity()
+
+
 def test_int8_grad_raises_loudly():
     """Differentiating through the serving path must error at trace time,
     not silently return zero gradients (training with LDMSEG_INT8 set)."""

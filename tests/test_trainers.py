@@ -194,6 +194,45 @@ def test_trainer_diffusion_inpainting_sampler(tmp_path, examples_root):
     assert np.abs(out[:, lat // 2:] - 0.5).max() > 1e-3
 
 
+def test_trainer_sp_mesh_sampler_matches_flat_mesh(tmp_path, examples_root):
+    """A trainer on an sp>1 mesh (spatially partitioned serving) samples and
+    decodes to the same values as one on a flat mesh — the trainer wiring of
+    sp_scope + spatial sharding constraints (train/trainer_ldm.py) on top of
+    the kernel-level equality covered by tests/test_sp.py."""
+    import jax.numpy as jnp
+
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+
+    outs = {}
+    for name, spec, n_dev in (
+        ("flat", MeshSpec(data=1, fsdp=1), 1),
+        ("sp", MeshSpec(data=1, fsdp=1, sp=4), 4),
+    ):
+        p = tiny_config(tmp_path)
+        ds_t, ds_v = _datasets(examples_root, p)
+        mesh = make_mesh(spec, devices=jax.devices()[:n_dev])
+        trainer = TrainerDiffusion(
+            p, mesh=mesh, results_folder=str(tmp_path / f"run_sp_{name}"),
+            dataset_train=ds_t, dataset_val=ds_v,
+            unet_cfg=tiny_unet_config(in_channels=8, cond_channels=4),
+            sd_vae_cfg=SDVAEConfig(block_out_channels=(8, 8, 8, 8),
+                                   layers_per_block=1, norm_num_groups=4,
+                                   dtype="float32"),
+        )
+        lat = trainer.latent_size
+        rgb_latents = jnp.linspace(-1, 1, 2 * lat * lat * 4).reshape(
+            (2, lat, lat, 4))
+        latents = trainer.sample(rgb_latents, rng=jax.random.PRNGKey(3),
+                                 num_inference_steps=2)
+        logits = trainer.decode_latents(latents, return_logits=True)
+        outs[name] = (np.asarray(latents), np.asarray(logits))
+
+    np.testing.assert_allclose(outs["sp"][0], outs["flat"][0],
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(outs["sp"][1], outs["flat"][1],
+                               atol=2e-3, rtol=2e-3)
+
+
 def test_compute_pq_fresh_rng_per_batch_and_max_iter(tmp_path, examples_root):
     """Eval draws fresh noise per val batch (reference samples sequentially
     from one generator, ldm_cond.py:1088) and max_iter=N runs exactly N
