@@ -1,3 +1,4 @@
+from .dpm import dpm_sample
 from .ddim import (
     DDIMSchedule,
     make_schedule,
@@ -16,4 +17,5 @@ __all__ = [
     "add_noise",
     "remove_noise",
     "ddim_step",
+    "dpm_sample",
 ]

@@ -25,18 +25,38 @@ def _to_numpy_tree(tree: Any) -> Any:
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+# at most one outstanding async save; finalizers run before the next save,
+# before any restore, and at trainer shutdown (finalize_pending_saves)
+_PENDING: list = []
+
+
+def finalize_pending_saves() -> None:
+    """Block until outstanding async saves are durable (tmp dir swapped)."""
+    while _PENDING:
+        _PENDING.pop(0)()
+
+
 def save_checkpoint(
     directory: str,
     payload: Dict[str, Any],
     name: str = "model",
     config: Optional[Dict[str, Any]] = None,
+    block: bool = True,
 ) -> str:
     """Save a pytree dict (params/opt_state/step...) atomically.
 
     ``config`` is the run-config snapshot the reference embeds in every
     checkpoint (trainers_ldm_cond.py:1810); it holds strings/None so it is
     written as a json sidecar ``<name>.config.json`` next to the orbax dir.
+
+    ``block=False`` overlaps the disk write with training (orbax async
+    save): the call returns once the arrays are snapshotted and the
+    atomic tmp-dir swap is deferred to ``finalize_pending_saves()`` —
+    which also runs automatically at the start of the next save, so at
+    most one save is ever in flight. The previous on-disk checkpoint
+    stays valid until the new one is durable.
     """
+    finalize_pending_saves()
     path = os.path.abspath(os.path.join(directory, name))
     ckptr = ocp.StandardCheckpointer()
     if os.path.exists(path):
@@ -47,12 +67,21 @@ def save_checkpoint(
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         ckptr.save(tmp, payload)
-        ckptr.wait_until_finished()
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+
+        def _finish(ckptr=ckptr, tmp=tmp, path=path):
+            ckptr.wait_until_finished()
+            shutil.rmtree(path)
+            os.rename(tmp, path)
     else:
         ckptr.save(path, payload)
-        ckptr.wait_until_finished()
+
+        def _finish(ckptr=ckptr):
+            ckptr.wait_until_finished()
+
+    if block:
+        _finish()
+    else:
+        _PENDING.append(_finish)
     if config is not None:
         import json
 
@@ -80,6 +109,7 @@ def restore_checkpoint(
     name: str = "model",
 ) -> Optional[Dict[str, Any]]:
     """Restore; returns None if absent. ``target`` gives structure/shardings."""
+    finalize_pending_saves()  # never read around an in-flight save
     path = os.path.abspath(os.path.join(directory, name))
     if not os.path.exists(path):
         return None

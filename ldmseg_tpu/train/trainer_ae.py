@@ -35,6 +35,7 @@ from ldmseg_tpu.train import (
     make_optimizer,
 )
 from ldmseg_tpu.train.checkpoint import (
+    finalize_pending_saves,
     load_torch_checkpoint,
     restore_checkpoint,
     save_checkpoint,
@@ -346,6 +347,7 @@ class TrainerAE:
             print(f"Epoch {epoch} took {time.time() - t0:.1f}s "
                   f"(avg loss {meters['loss'].avg:.4e})")
         self.compute_metrics(["miou", "pq"], threshold_output=True, save_images=True)
+        finalize_pending_saves()  # async saves durable before we return
         print(f"Finished in {time.time() - start:.1f}s")
 
     def check_iter(self, batch_idx: int, epoch: int) -> bool:
@@ -461,7 +463,8 @@ class TrainerAE:
                 if self.p.get("optimizer_save_optim", False) else None
             ),
         }
-        save_checkpoint(self.results_folder, payload, config=self.p)
+        save_checkpoint(self.results_folder, payload, config=self.p,
+                        block=not self.p["train_kwargs"].get("async_save", False))
         # release the multi-GB host copy promptly (see trainer_ldm.save)
         del payload
         import gc

@@ -32,6 +32,7 @@ from ldmseg_tpu.data.coco import get_dataset
 from ldmseg_tpu.data.loader import DataLoader
 from ldmseg_tpu.data.transforms import get_train_transforms, get_val_transforms
 from ldmseg_tpu.diffusion import add_noise, inference_timesteps, make_schedule
+from ldmseg_tpu.diffusion.dpm import dpm_sample
 from ldmseg_tpu.diffusion.sampling import ddim_sample
 from ldmseg_tpu.eval import PanopticEvaluator
 from ldmseg_tpu.eval.postprocess import postprocess_image
@@ -52,6 +53,7 @@ from ldmseg_tpu.train import (
     make_optimizer,
 )
 from ldmseg_tpu.train.checkpoint import (
+    finalize_pending_saves,
     load_torch_checkpoint,
     restore_checkpoint,
     save_checkpoint,
@@ -167,6 +169,8 @@ class TrainerDiffusion:
         self.num_classes = p.get("num_classes", 128)
         self.num_inference_steps = sk.get("num_inference_steps", 50)
         self.guidance_scale = sk.get("guidance_scale", 7.5)
+        self.sampler = sk.get("sampler", "ddim")
+        assert self.sampler in ("ddim", "dpm++"), self.sampler
         self.self_condition = tk.get("self_condition", False)
         self.best_pq = 0.0
         self.epoch = 0
@@ -398,7 +402,11 @@ class TrainerDiffusion:
                     return self.unet.apply({"params": params}, inputs, t, ctx)
             return self.unet.apply({"params": params}, inputs, t, ctx)
 
-        return ddim_sample(
+        # sampling_kwargs.sampler: 'ddim' (default, reference parity) or
+        # 'dpm++' (DPM-Solver++(2M), diffusion/dpm.py — DDIM quality in
+        # fewer UNet evals; PQ-gated on-chip via tools/eval_run.py)
+        sample_fn = dpm_sample if self.sampler == "dpm++" else ddim_sample
+        return sample_fn(
             denoise, self.sched, rng, rgb_latents,
             num_inference_steps=num_inference_steps,
             self_condition=self.self_condition,
@@ -571,6 +579,7 @@ class TrainerDiffusion:
             print(f"Epoch {epoch}: avg loss {losses.avg:.4e}, "
                   f"{time.time() - t0:.1f}s")
         evaluation(max_iter=None)
+        finalize_pending_saves()  # async saves durable before we return
         print(f"Finished in {time.time() - start:.1f}s")
 
     def check_iter(self, batch_idx, epoch):
@@ -782,9 +791,13 @@ class TrainerDiffusion:
         }
         if extra:
             payload.update(extra)
-        # config snapshot rides along with the checkpoint (ldm_cond.py:1810)
+        # config snapshot rides along with the checkpoint (ldm_cond.py:1810).
+        # train_kwargs.async_save=True overlaps the multi-GB disk write with
+        # training (at most one save in flight; the atomic swap happens
+        # before the next save / any restore / end of train_loop)
         save_checkpoint(self.results_folder, payload, name=name,
-                        config=self.p)
+                        config=self.p,
+                        block=not self.p["train_kwargs"].get("async_save", False))
         # the payload is a ~10GB host copy of the full train state; make
         # sure nothing (orbax futures, traceback frames) pins it until the
         # next save — long tunneled runs OOM'd at 130GB host RSS

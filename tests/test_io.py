@@ -96,3 +96,35 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
     save_checkpoint(str(tmp_path), payload)
     assert int(restore_checkpoint(str(tmp_path))["step"]) == 8
     assert restore_checkpoint(str(tmp_path), name="missing") is None
+
+
+def test_checkpoint_async_save(tmp_path):
+    """block=False saves return immediately and become durable by the next
+    save / any restore / finalize_pending_saves; the previous checkpoint
+    stays intact while a save is in flight (train_kwargs.async_save)."""
+    import jax.numpy as jnp
+
+    from ldmseg_tpu.train.checkpoint import (
+        finalize_pending_saves,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    payload = {"step": 1, "w": jnp.full((64, 64), 1.0)}
+    save_checkpoint(str(tmp_path), payload, block=False)
+    finalize_pending_saves()
+    assert int(restore_checkpoint(str(tmp_path))["step"]) == 1
+
+    # async overwrite: restore finalizes the in-flight save first
+    payload["step"] = 2
+    save_checkpoint(str(tmp_path), payload, block=False)
+    out = restore_checkpoint(str(tmp_path))
+    assert int(out["step"]) == 2
+    np.testing.assert_array_equal(np.asarray(out["w"]), np.ones((64, 64)))
+
+    # back-to-back async saves self-finalize (at most one in flight)
+    for s in (3, 4):
+        save_checkpoint(str(tmp_path), {"step": s, "w": jnp.zeros((8,))},
+                        block=False)
+    finalize_pending_saves()
+    assert int(restore_checkpoint(str(tmp_path))["step"]) == 4

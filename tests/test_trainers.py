@@ -233,6 +233,44 @@ def test_trainer_sp_mesh_sampler_matches_flat_mesh(tmp_path, examples_root):
                                atol=2e-3, rtol=2e-3)
 
 
+def test_trainer_sampler_knob_routes_to_dpm(tmp_path, examples_root):
+    """sampling_kwargs.sampler='dpm++' routes the jitted sampler through
+    diffusion/dpm.py (and unknown samplers are rejected at init)."""
+    import jax.numpy as jnp
+
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+
+    p = tiny_config(tmp_path)
+    p["sampling_kwargs"]["sampler"] = "dpm++"
+    ds_t, ds_v = _datasets(examples_root, p)
+    mesh = make_mesh(MeshSpec(data=4, fsdp=1), devices=jax.devices()[:4])
+    trainer = TrainerDiffusion(
+        p, mesh=mesh, results_folder=str(tmp_path / "run_dpm"),
+        dataset_train=ds_t, dataset_val=ds_v,
+        unet_cfg=tiny_unet_config(in_channels=8, cond_channels=4),
+        sd_vae_cfg=SDVAEConfig(block_out_channels=(8, 8, 8, 8),
+                               layers_per_block=1, norm_num_groups=4,
+                               dtype="float32"),
+    )
+    assert trainer.sampler == "dpm++"
+    lat = trainer.latent_size
+    out = trainer.sample(jnp.ones((2, lat, lat, 4)), num_inference_steps=3)
+    assert out.shape == (2, lat, lat, 4)
+    assert bool(jnp.isfinite(out).all())
+
+    p_bad = tiny_config(tmp_path)
+    p_bad["sampling_kwargs"]["sampler"] = "euler"
+    with pytest.raises(AssertionError):
+        TrainerDiffusion(
+            p_bad, mesh=mesh, results_folder=str(tmp_path / "run_bad"),
+            dataset_train=ds_t, dataset_val=ds_v,
+            unet_cfg=tiny_unet_config(in_channels=8, cond_channels=4),
+            sd_vae_cfg=SDVAEConfig(block_out_channels=(8, 8, 8, 8),
+                                   layers_per_block=1, norm_num_groups=4,
+                                   dtype="float32"),
+        )
+
+
 def test_compute_pq_fresh_rng_per_batch_and_max_iter(tmp_path, examples_root):
     """Eval draws fresh noise per val batch (reference samples sequentially
     from one generator, ldm_cond.py:1088) and max_iter=N runs exactly N

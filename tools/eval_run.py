@@ -29,6 +29,9 @@ def main(argv=None):
     ap.add_argument("--max-iter", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--sampler", choices=["ddim", "dpm++"], default=None,
+                    help="override sampling_kwargs.sampler for the A/B "
+                         "(dpm++ = DPM-Solver++(2M), fewer UNet evals)")
     args = ap.parse_args(argv)
 
     import jax
@@ -50,6 +53,8 @@ def main(argv=None):
     p["eval_only"] = True
     if args.batch_size is not None:
         p["eval_kwargs"]["batch_size"] = args.batch_size
+    if args.sampler is not None:
+        p["sampling_kwargs"]["sampler"] = args.sampler
     p["eval_kwargs"]["num_workers"] = 0
 
     mesh = make_mesh(MeshSpec(data=1, fsdp=1), devices=jax.devices()[:1])
