@@ -1,7 +1,14 @@
-"""Torch-checkpoint -> Flax-param converters.
+"""Torch-checkpoint <-> Flax-param converters.
 
-One-way converters from the reference's published checkpoints into this
-framework's NHWC param trees (SURVEY §5 checkpoint/resume):
+Bidirectional converters between the reference's checkpoint formats and
+this framework's NHWC param trees (SURVEY §5 checkpoint/resume). Each
+model's mapping is ONE declarative body (``_map_*``) executed forward by
+``convert_*`` (torch state dict -> flax tree) and in reverse by
+``export_*`` (flax tree -> torch state dict, see tools/export_torch.py),
+so the two directions cannot drift; round-trip identity is tested
+byte-exactly (tests/test_convert_sd.py).
+
+Forward converters:
 
   * SD v1-4 ``unet`` / ``vae`` diffusers state dicts  -> CondUNet / SDVAE
   * reference ``ae.pt`` (GeneralVAESeg, torch Sequential indices) -> SegVAE
@@ -32,8 +39,16 @@ def _conv_w(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
 
 
+def _inv_conv_w(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (3, 2, 0, 1))  # HWIO -> OIHW
+
+
 def _convT_w(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 0, 1))  # IOHW -> HWIO(=kh,kw,in,out)
+
+
+def _inv_convT_w(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 0, 1))  # HWIO(kh,kw,in,out) -> IOHW
 
 
 def _lin_w(w: np.ndarray) -> np.ndarray:
@@ -49,7 +64,12 @@ def _set(tree: Dict, path: str, value: np.ndarray) -> None:
 
 
 class _SD:
-    """Helper turning a torch state dict into our nested tree."""
+    """Helper turning a torch state dict into our nested tree.
+
+    The mapping methods carry both the forward transform and its inverse so
+    the same declarative mapping body (``_map_*``) drives torch->flax
+    conversion here and flax->torch export in ``_ExportSD``.
+    """
 
     def __init__(self, state: Dict[str, Any]):
         self.state = {k: np.asarray(v) for k, v in state.items()}
@@ -57,30 +77,40 @@ class _SD:
         self.used = set()
 
     def conv(self, src: str, dst: str, bias: bool = True):
-        self._emit(f"{src}.weight", f"{dst}/kernel", _conv_w)
+        self._emit(f"{src}.weight", f"{dst}/kernel", _conv_w, _inv_conv_w)
         if bias:
-            self._emit(f"{src}.bias", f"{dst}/bias", None)
+            self._emit(f"{src}.bias", f"{dst}/bias", None, None)
 
     def convT(self, src: str, dst: str):
-        self._emit(f"{src}.weight", f"{dst}/kernel", _convT_w)
-        self._emit(f"{src}.bias", f"{dst}/bias", None)
+        self._emit(f"{src}.weight", f"{dst}/kernel", _convT_w, _inv_convT_w)
+        self._emit(f"{src}.bias", f"{dst}/bias", None, None)
 
     def linear(self, src: str, dst: str, bias: bool = True):
-        self._emit(f"{src}.weight", f"{dst}/kernel", _lin_w)
+        self._emit(f"{src}.weight", f"{dst}/kernel", _lin_w, _lin_w)
         if bias:
-            self._emit(f"{src}.bias", f"{dst}/bias", None)
+            self._emit(f"{src}.bias", f"{dst}/bias", None, None)
 
     def norm(self, src: str, dst: str):
-        self._emit(f"{src}.weight", f"{dst}/scale", None)
-        self._emit(f"{src}.bias", f"{dst}/bias", None)
+        self._emit(f"{src}.weight", f"{dst}/scale", None, None)
+        self._emit(f"{src}.bias", f"{dst}/bias", None, None)
 
     def raw(self, src: str, dst: str):
-        self._emit(src, dst, None)
+        self._emit(src, dst, None, None)
 
     def has(self, key: str) -> bool:
         return key in self.state
 
-    def _emit(self, src: str, dst: str, fn):
+    def has_mod(self, torch_key: str, flax_path: str) -> bool:
+        """Presence check usable by both directions: the torch key here,
+        the equivalent flax subtree in _ExportSD."""
+        return torch_key in self.state
+
+    def is_conv1x1(self, torch_key: str) -> bool:
+        """Old diffusers VAE attention stored 1x1 convs (4D); export-side
+        always emits the modern 2D linear form."""
+        return self.state[torch_key].ndim == 4
+
+    def _emit(self, src: str, dst: str, fn, inv):
         if src not in self.state:
             raise KeyError(f"missing checkpoint key: {src}")
         v = self.state[src]
@@ -89,6 +119,44 @@ class _SD:
 
     def unused(self):
         return sorted(set(self.state) - self.used)
+
+
+def _get_path(tree: Dict, path: str):
+    node = tree
+    for p in path.split("/"):
+        if not isinstance(node, dict) or p not in node:
+            raise KeyError(f"missing flax param path: {path}")
+        node = node[p]
+    return node
+
+
+def _has_path(tree: Dict, path: str) -> bool:
+    node = tree
+    for p in path.split("/"):
+        if not isinstance(node, dict) or p not in node:
+            return False
+        node = node[p]
+    return True
+
+
+class _ExportSD(_SD):
+    """Runs a ``_map_*`` body in reverse: reads the flax param tree and
+    emits a torch state dict (``self.out``) using the inverse transforms."""
+
+    def __init__(self, params: Dict[str, Any]):
+        super().__init__({})
+        self.params = params
+        self.out: Dict[str, np.ndarray] = {}
+
+    def has_mod(self, torch_key: str, flax_path: str) -> bool:
+        return _has_path(self.params, flax_path)
+
+    def is_conv1x1(self, torch_key: str) -> bool:
+        return False  # always export the modern 2D linear form
+
+    def _emit(self, src: str, dst: str, fn, inv):
+        v = np.asarray(_get_path(self.params, dst))
+        self.out[src] = inv(v) if inv else v
 
 
 def _convert_attention(sd: _SD, src: str, dst: str, cross: bool) -> None:
@@ -119,11 +187,12 @@ def _convert_transformer2d(sd: _SD, src: str, dst: str, cross: bool, depth: int 
 def _convert_resnet(sd: _SD, src: str, dst: str, temb: bool = True):
     sd.norm(f"{src}.norm1", f"{dst}/norm1")
     sd.conv(f"{src}.conv1", f"{dst}/conv1/conv")
-    if temb and sd.has(f"{src}.time_emb_proj.weight"):
+    if temb and sd.has_mod(f"{src}.time_emb_proj.weight",
+                           f"{dst}/time_emb_proj"):
         sd.linear(f"{src}.time_emb_proj", f"{dst}/time_emb_proj")
     sd.norm(f"{src}.norm2", f"{dst}/norm2")
     sd.conv(f"{src}.conv2", f"{dst}/conv2/conv")
-    if sd.has(f"{src}.conv_shortcut.weight"):
+    if sd.has_mod(f"{src}.conv_shortcut.weight", f"{dst}/conv_shortcut"):
         sd.conv(f"{src}.conv_shortcut", f"{dst}/conv_shortcut/conv")
 
 
@@ -145,6 +214,28 @@ def convert_sd_unet(
         "repartitioning would silently change the pretrained function"
     )
     sd = _SD(state)
+    _map_sd_unet(sd, cfg)
+    if return_unused:
+        return sd.tree, sd.unused()
+    return sd.tree
+
+
+def export_sd_unet(params: Dict[str, Any], cfg: UNetConfig) -> Dict[str, np.ndarray]:
+    """CondUNet params -> diffusers UNet2DConditionModel state dict (inverse
+    of ``convert_sd_unet``; same declarative mapping run in reverse).
+
+    With ``cfg.use_cross_attention`` False the exported dict has no
+    attn2/norm2 keys — it loads into a reference UNet after its
+    ``remove_cross_attention()`` surgery (unet.py:83-105). A modified
+    conv_in (8+cond channels) exports at its actual width, matching a
+    reference model after ``modify_encoder()``.
+    """
+    sd = _ExportSD(params)
+    _map_sd_unet(sd, cfg)
+    return sd.out
+
+
+def _map_sd_unet(sd: _SD, cfg: UNetConfig) -> None:
     n = len(cfg.block_out_channels)
 
     sd.conv("conv_in", "conv_in/conv")
@@ -188,23 +279,20 @@ def convert_sd_unet(
 
     sd.norm("conv_norm_out", "conv_norm_out")
     sd.conv("conv_out", "conv_out/conv")
-    if return_unused:
-        return sd.tree, sd.unused()
-    return sd.tree
 
 
 def _convert_vae_attention(sd: _SD, src: str, dst: str):
-    """SD VAE mid-block attention; supports old and new diffusers naming."""
-    if sd.has(f"{src}.group_norm.weight"):
+    """SD VAE mid-block attention; supports old and new diffusers naming
+    (export always emits the modern >=0.15 naming and 2D linear form)."""
+    if sd.has_mod(f"{src}.group_norm.weight", f"{dst}/group_norm"):
         sd.norm(f"{src}.group_norm", f"{dst}/group_norm")
         names = {"to_q": "to_q", "to_k": "to_k", "to_v": "to_v", "to_out.0": "to_out"}
     else:  # pre-0.15 naming
         sd.norm(f"{src}.norm", f"{dst}/group_norm")
         names = {"query": "to_q", "key": "to_k", "value": "to_v", "proj_attn": "to_out"}
     for s_name, d_name in names.items():
-        w = sd.state[f"{src}.{s_name}.weight"]
-        if w.ndim == 4:  # some versions store 1x1 convs
-            w = w[:, :, 0, 0]
+        if sd.is_conv1x1(f"{src}.{s_name}.weight"):  # old 1x1-conv storage
+            w = sd.state[f"{src}.{s_name}.weight"][:, :, 0, 0]
             _set(sd.tree, f"{dst}/{d_name}/kernel", _lin_w(w))
             sd.used.add(f"{src}.{s_name}.weight")
             sd.raw(f"{src}.{s_name}.bias", f"{dst}/{d_name}/bias")
@@ -219,12 +307,34 @@ def convert_sd_vae(
 ) -> Dict[str, Any]:
     """diffusers AutoencoderKL state dict -> SDVAE params['params']."""
     sd = _SD(state)
+    _map_sd_vae(sd, encoder_only)
+    if return_unused:
+        return sd.tree, sd.unused()
+    return sd.tree
+
+
+def export_sd_vae(
+    params: Dict[str, Any],
+    encoder_only: bool = False,
+    n_blocks: int = 4,
+    layers_per_block: int = 2,
+) -> Dict[str, np.ndarray]:
+    """SDVAE params -> diffusers AutoencoderKL state dict (modern naming;
+    inverse of ``convert_sd_vae``). Non-SD topologies pass their
+    n_blocks/layers_per_block (SDVAEConfig fields)."""
+    sd = _ExportSD(params)
+    _map_sd_vae(sd, encoder_only, n_blocks, layers_per_block)
+    return sd.out
+
+
+def _map_sd_vae(sd: _SD, encoder_only: bool,
+                n_blocks: int = 4, layers_per_block: int = 2) -> None:
     sd.conv("encoder.conv_in", "encoder/conv_in/conv")
-    for i in range(4):
-        for j in range(2):
+    for i in range(n_blocks):
+        for j in range(layers_per_block):
             _convert_resnet(sd, f"encoder.down_blocks.{i}.resnets.{j}",
                             f"encoder/down_blocks_{i}_resnets_{j}", temb=False)
-        if i < 3:
+        if i < n_blocks - 1:
             sd.conv(f"encoder.down_blocks.{i}.downsamplers.0.conv",
                     f"encoder/down_blocks_{i}_downsamplers_0/conv")
     _convert_resnet(sd, "encoder.mid_block.resnets.0",
@@ -246,18 +356,15 @@ def convert_sd_vae(
                                "decoder/mid_block/attentions_0")
         _convert_resnet(sd, "decoder.mid_block.resnets.1",
                         "decoder/mid_block/resnets_1", temb=False)
-        for i in range(4):
-            for j in range(3):
+        for i in range(n_blocks):
+            for j in range(layers_per_block + 1):
                 _convert_resnet(sd, f"decoder.up_blocks.{i}.resnets.{j}",
                                 f"decoder/up_blocks_{i}_resnets_{j}", temb=False)
-            if i < 3:
+            if i < n_blocks - 1:
                 sd.conv(f"decoder.up_blocks.{i}.upsamplers.0.conv",
                         f"decoder/up_blocks_{i}_upsamplers_0/conv")
         sd.norm("decoder.conv_norm_out", "decoder/conv_norm_out")
         sd.conv("decoder.conv_out", "decoder/conv_out/conv")
-    if return_unused:
-        return sd.tree, sd.unused()
-    return sd.tree
 
 
 def seg_vae_encoder_layout(cfg: SegVAEConfig):
@@ -317,7 +424,19 @@ def convert_seg_vae(state: Dict[str, Any], cfg: SegVAEConfig) -> Dict[str, Any]:
     state = {k.replace("module.", "", 1) if k.startswith("module.") else k: v
              for k, v in state.items()}
     sd = _SD(state)
+    _map_seg_vae(sd, cfg)
+    return sd.tree
 
+
+def export_seg_vae(params: Dict[str, Any], cfg: SegVAEConfig) -> Dict[str, np.ndarray]:
+    """SegVAE params -> reference ``ae.pt`` data['vae'] state dict (torch
+    Sequential indices; inverse of ``convert_seg_vae``)."""
+    sd = _ExportSD(params)
+    _map_seg_vae(sd, cfg)
+    return sd.out
+
+
+def _map_seg_vae(sd: _SD, cfg: SegVAEConfig) -> None:
     for idx, kind, name in seg_vae_encoder_layout(cfg):
         src = f"encoder.{idx}" if idx != "" else "encoder"
         dst = f"encoder/{name}"
@@ -341,9 +460,8 @@ def convert_seg_vae(state: Dict[str, Any], cfg: SegVAEConfig) -> Dict[str, Any]:
         elif kind == "midblock":
             _convert_torch_midblock(sd, src, dst)
 
-    if "codebook.weight" in state:
+    if sd.has_mod("codebook.weight", "codebook"):
         sd.raw("codebook.weight", "codebook")
-    return sd.tree
 
 
 def modify_conv_in(
