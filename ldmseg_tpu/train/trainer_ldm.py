@@ -686,7 +686,9 @@ class TrainerDiffusion:
                 ) for i in range(n)
             ], size),
         ]
-        write_image(stack_rows(rows), self.visualization_dir, "overview.png")
+        path = write_image(stack_rows(rows), self.visualization_dir,
+                           "overview.png")
+        self.metrics_logger.log_image("val/overview", path, step=self.step)
 
     def log_images_train(self, batch, db, metrics=None):
         """Train grid: rgb / gt / noisy / pred-x0 / generated rows
@@ -719,7 +721,8 @@ class TrainerDiffusion:
             rows.append(make_row([pred[i] for i in range(min(n, len(pred)))],
                                  size))
         rows.append(make_row([gen[i] for i in range(n)], size))
-        write_image(stack_rows(rows), self.visualization_dir, "all.png")
+        path = write_image(stack_rows(rows), self.visualization_dir, "all.png")
+        self.metrics_logger.log_image("train/grid", path, step=self.step)
 
     def visualize_noise_schedule(self, seed: int = 42):
         """Noise-schedule strip (trainers_ldm_cond.py:1571-1604)."""

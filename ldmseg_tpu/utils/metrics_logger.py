@@ -63,6 +63,20 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_image(self, name: str, path: str, step: Optional[int] = None) -> None:
+        """Forward a visualization written to ``path`` as a wandb image
+        panel (reference trainers_ldm_cond.py:1446-1477); the JSONL records
+        the file path so offline runs keep an index of the panels."""
+        if not self.enabled:
+            return
+        record = {"time": time.time(), f"image/{name}": path}
+        if step is not None:
+            record["step"] = step
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        if self._wandb is not None:
+            self._wandb.log({name: self._wandb.Image(path)}, step=step)
+
     def finish(self):
         if self._wandb is not None:
             self._wandb.finish()

@@ -128,3 +128,17 @@ def test_checkpoint_async_save(tmp_path):
                         block=False)
     finalize_pending_saves()
     assert int(restore_checkpoint(str(tmp_path))["step"]) == 4
+
+
+def test_metrics_logger_log_image(tmp_path):
+    """log_image records the panel path in metrics.jsonl (and would forward
+    a wandb.Image when wandb is enabled — reference ldm_cond.py:1446-1477)."""
+    import json
+
+    from ldmseg_tpu.utils.metrics_logger import MetricsLogger
+
+    ml = MetricsLogger(str(tmp_path), use_wandb=False)
+    ml.log_image("train/grid", str(tmp_path / "all.png"), step=7)
+    lines = [json.loads(line) for line in open(tmp_path / "metrics.jsonl")]
+    assert lines[-1]["image/train/grid"].endswith("all.png")
+    assert lines[-1]["step"] == 7
