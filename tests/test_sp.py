@@ -57,6 +57,21 @@ def test_sp_attention_matches_reference(cpu_devices, sp):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_sp_attention_combined_data_axis(cpu_devices):
+    """DP x SP mesh: the batch stays sharded over data while rows shard
+    over sp (the bspec branch in kernels/attention.py)."""
+    mesh = make_mesh(MeshSpec(data=2, fsdp=1, sp=2), devices=cpu_devices[:4])
+    k = jax.random.PRNGKey(7)
+    q, kk, v = (
+        jax.random.normal(jax.random.fold_in(k, i), (4, 32, 2, 8))
+        for i in range(3)
+    )
+    ref = mha_reference(q, kk, v)
+    with sp_scope(mesh):
+        out = jax.jit(multi_head_attention)(q, kk, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_sp_attention_skips_indivisible_seq(cpu_devices):
     """Sequences not divisible by sp fall back to the single-shard path."""
     mesh = make_mesh(MeshSpec(data=1, fsdp=1, sp=4), devices=cpu_devices[:4])
