@@ -59,6 +59,7 @@ def main(argv=None):
 
     mesh = make_mesh(MeshSpec(data=1, fsdp=1), devices=jax.devices()[:1])
     print(f"mesh: {mesh}; ckpt: {args.ckpt}; steps: {args.steps}; "
+          f"sampler: {p['sampling_kwargs'].get('sampler', 'ddim')}; "
           f"int8: {os.environ.get('LDMSEG_INT8', '0')}")
 
     from ldmseg_tpu.models.descriptors import get_image_descriptor_model
