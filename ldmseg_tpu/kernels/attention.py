@@ -613,12 +613,21 @@ def multi_head_attention(
     """Dispatch: Pallas flash attention on TPU, jnp reference elsewhere.
 
     Inside an active ``core.mesh.sp_scope`` (spatially partitioned serving,
-    mesh sp axis > 1) the computation runs sequence-parallel via shard_map:
-    each sp shard keeps its local Q rows and all-gathers K/V over the sp
-    axis (one ICI all-gather per attention; the latent K/V are small —
-    4096 x d per head at 512^2). The reference has no sequence/spatial
-    parallelism at all (SURVEY §5: absent); this is the TPU-native lever
-    for resolutions whose activations exceed one chip.
+    mesh sp axis > 1) the computation runs sequence-parallel via shard_map.
+    Two collective strategies (LDMSEG_SP_ATTN, default ``auto``):
+
+      * ``allgather`` — each sp shard keeps its local Q rows and all-gathers
+        K/V over the sp axis (one ICI all-gather per attention; the latent
+        K/V are small — 4096 x d per head at 512^2). O(S) K/V per chip.
+      * ``ring`` — ring attention: K/V blocks circulate via ppermute while
+        each shard merges partial attention with online-softmax statistics.
+        O(S/sp) memory per chip — the lever for resolutions whose FULL
+        K/V no longer fit one chip (``auto`` switches when gathered K/V
+        would exceed LDMSEG_SP_RING_MB, default 128).
+
+    The reference has no sequence/spatial parallelism at all (SURVEY §5:
+    absent); this is the TPU-native lever for resolutions whose activations
+    exceed one chip.
 
     Env overrides: LDMSEG_ATTENTION={auto,flash,reference},
     LDMSEG_FLASH_BLOCK_Q / LDMSEG_FLASH_BLOCK_K (default 512).
@@ -627,21 +636,80 @@ def multi_head_attention(
     if mesh is not None and q.shape[1] % mesh.shape["sp"] == 0 and q.shape[1] > 1:
         from jax.sharding import PartitionSpec as P
 
+        n_sp = mesh.shape["sp"]
         # batch stays sharded over data x fsdp when divisible (serving
         # meshes are usually (1, 1, sp); combined DP x SP also works)
         dp = mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1)
         bspec = ("data", "fsdp") if q.shape[0] % dp == 0 and dp > 1 else None
         spec = P(bspec, "sp", None, None)
 
-        def local(ql, kl, vl):
-            kf = jax.lax.all_gather(kl, "sp", axis=1, tiled=True)
-            vf = jax.lax.all_gather(vl, "sp", axis=1, tiled=True)
-            return _mha_dispatch(ql, kf, vf, scale)
+        mode = os.environ.get("LDMSEG_SP_ATTN", "auto")
+        if mode == "auto":
+            kv_mb = (2 * q.shape[0] * q.shape[1] * q.shape[2] * q.shape[3]
+                     * k.dtype.itemsize) / 2**20
+            mode = ("ring" if kv_mb >
+                    float(os.environ.get("LDMSEG_SP_RING_MB", "128"))
+                    else "allgather")
+
+        if mode == "ring":
+            def local(ql, kl, vl):
+                return _ring_attention_local(ql, kl, vl, scale, "sp", n_sp)
+        else:
+            def local(ql, kl, vl):
+                kf = jax.lax.all_gather(kl, "sp", axis=1, tiled=True)
+                vf = jax.lax.all_gather(vl, "sp", axis=1, tiled=True)
+                return _mha_dispatch(ql, kf, vf, scale)
 
         return shard_map(
             local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
         )(q, k, v)
     return _mha_dispatch(q, k, v, scale)
+
+
+def _ring_attention_local(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    scale: Optional[float], axis: str, n: int,
+) -> jnp.ndarray:
+    """Ring attention over the ``axis`` mesh dimension (runs inside
+    shard_map; q/k/v are the LOCAL [B, S/n, H, D] shards).
+
+    Each of the ``n`` steps attends the local Q rows to the currently held
+    K/V block, folds the result into running online-softmax statistics
+    (max m, normalizer l, accumulator acc — the same math as the flash
+    kernel, at block granularity), then passes the K/V block to the next
+    device on the ICI ring via ppermute. Total memory is O(S/n) per chip
+    and the ppermute traffic overlaps with the block compute.
+    """
+    scale = (q.shape[-1] ** -0.5) if scale is None else scale
+    qf = q.astype(jnp.float32)
+    b, sq, h, d = q.shape
+    perm = [(j, (j + 1) % n) for j in range(n)]
+
+    def body(_, carry):
+        k_blk, v_blk, m, l, acc = carry
+        s = jnp.einsum("bqhd,bkhd->bhqk", qf, k_blk.astype(jnp.float32),
+                       preferred_element_type=jnp.float32) * scale
+        m_new = jnp.maximum(m, s.max(axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + p.sum(axis=-1)
+        acc = acc * alpha[..., None] + jnp.einsum(
+            "bhqk,bkhd->bhqd", p, v_blk.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        k_blk = jax.lax.ppermute(k_blk, axis, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis, perm)
+        return (k_blk, v_blk, m_new, l, acc)
+
+    # fresh zeros are device-UNvarying inside shard_map while the loop body
+    # makes them sp-varying — mark them varying up front so the fori_loop
+    # carry types match (jax vma rules)
+    m0 = jax.lax.pvary(jnp.full((b, h, sq), -jnp.inf, jnp.float32), (axis,))
+    l0 = jax.lax.pvary(jnp.zeros((b, h, sq), jnp.float32), (axis,))
+    acc0 = jax.lax.pvary(jnp.zeros((b, h, sq, d), jnp.float32), (axis,))
+    _, _, _, l, acc = jax.lax.fori_loop(0, n, body, (k, v, m0, l0, acc0))
+    out = acc / l[..., None]
+    return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
 
 
 def _mha_dispatch(

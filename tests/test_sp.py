@@ -72,6 +72,57 @@ def test_sp_attention_combined_data_axis(cpu_devices):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("sp", [2, 4])
+def test_sp_ring_attention_matches_reference(cpu_devices, sp, monkeypatch):
+    """Ring attention (K/V circulating via ppermute with online-softmax
+    merging, O(S/sp) memory per chip) computes the same function as plain
+    attention."""
+    monkeypatch.setenv("LDMSEG_SP_ATTN", "ring")
+    mesh = make_mesh(MeshSpec(data=1, fsdp=1, sp=sp), devices=cpu_devices[:sp])
+    k = jax.random.PRNGKey(8)
+    q, kk, v = (
+        jax.random.normal(jax.random.fold_in(k, i), (2, 64, 3, 8))
+        for i in range(3)
+    )
+    ref = mha_reference(q, kk, v)
+    with sp_scope(mesh):
+        out = jax.jit(multi_head_attention)(q, kk, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_sp_attn_auto_mode_switches_on_kv_size(cpu_devices, monkeypatch):
+    """auto: all-gathered K/V under the threshold, ring above it."""
+    from ldmseg_tpu.kernels import attention as A
+
+    mesh = make_mesh(MeshSpec(data=1, fsdp=1, sp=2), devices=cpu_devices[:2])
+    q = jax.random.normal(jax.random.PRNGKey(9), (1, 64, 2, 8))
+    ref = mha_reference(q, q, q)
+
+    calls = []
+    orig = A._ring_attention_local
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(A, "_ring_attention_local", spy)
+    monkeypatch.setenv("LDMSEG_SP_ATTN", "auto")
+    # tiny threshold -> ring; huge threshold -> allgather
+    monkeypatch.setenv("LDMSEG_SP_RING_MB", "0.001")
+    with sp_scope(mesh):
+        out = multi_head_attention(q, q, q)
+    assert calls, "ring path not taken despite tiny threshold"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    calls.clear()
+    monkeypatch.setenv("LDMSEG_SP_RING_MB", "1e9")
+    with sp_scope(mesh):
+        out = multi_head_attention(q, q, q)
+    assert not calls, "ring path taken despite huge threshold"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_sp_attention_skips_indivisible_seq(cpu_devices):
     """Sequences not divisible by sp fall back to the single-shard path."""
     mesh = make_mesh(MeshSpec(data=1, fsdp=1, sp=4), devices=cpu_devices[:4])
