@@ -88,6 +88,44 @@ def current_sp_mesh() -> Optional[Mesh]:
     return None
 
 
+# trace-time data-parallel scope: model code re-asserts batch sharding on
+# activations at block boundaries via constrain_batch (no-op outside the
+# scope). Without these constraints XLA's sharding propagation flips small
+# activations (time embeddings, low-resolution attention/FF tensors) to the
+# fsdp parameter sharding of their weight operands, and the partitioner
+# logs "[SPMD] Involuntary full rematerialization" — replicate-then-
+# repartition traffic in the hot loop on a real slice.
+_DP_MESH: list = []
+
+
+@contextlib.contextmanager
+def dp_scope(mesh: Mesh):
+    """Mark a trace extent as data-parallel over ``mesh``: activations
+    constrained by ``constrain_batch`` stay batch-sharded over
+    data x fsdp. Use inside the traced train step (active while tracing)."""
+    _DP_MESH.append(mesh)
+    try:
+        yield
+    finally:
+        _DP_MESH.pop()
+
+
+def constrain_batch(x):
+    """Re-assert leading-axis (batch) sharding on an activation.
+
+    No-op outside ``dp_scope`` or when the scoped mesh has a single
+    data x fsdp device — and under ``sp_scope`` (spatially partitioned
+    serving constrains rows separately via ``spatial_sharding``)."""
+    if current_sp_mesh() is not None:
+        return x
+    for mesh in reversed(_DP_MESH):
+        if mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1) > 1:
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(("data", "fsdp")))
+            )
+    return x
+
+
 def spatial_sharding(mesh: Mesh) -> NamedSharding:
     """NHWC activations with rows sharded over the sp axis (batch over
     data x fsdp as in ``batch_sharding``)."""
@@ -108,12 +146,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def _fsdp_spec(shape: Sequence[int], fsdp_size: int, min_size: int = 2**16) -> P:
-    """Choose a PartitionSpec sharding the largest divisible axis over fsdp."""
+    """Choose a PartitionSpec sharding one axis of a parameter over fsdp.
+
+    Prefer the LAST divisible axis (output features for Dense [in, out] and
+    conv HWIO kernels): sharding the contraction (input) dim instead makes
+    the SPMD partitioner want contraction-sharded *activations* for the
+    dots, which conflicts with the batch sharding over (data, fsdp) and
+    falls back to replicate-then-repartition ("[SPMD] Involuntary full
+    rematerialization"). With output-dim sharding XLA all-gathers the
+    (small) weight shards over ICI — the intended ZeRO-1 behavior."""
     if fsdp_size <= 1 or np.prod(shape, dtype=np.int64) < min_size:
         return P()
-    # prefer the largest axis divisible by fsdp_size
-    order = sorted(range(len(shape)), key=lambda i: -shape[i])
-    for i in order:
+    for i in reversed(range(len(shape))):
         if shape[i] % fsdp_size == 0:
             spec = [None] * len(shape)
             spec[i] = "fsdp"

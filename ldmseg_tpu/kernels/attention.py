@@ -703,10 +703,16 @@ def _ring_attention_local(
 
     # fresh zeros are device-UNvarying inside shard_map while the loop body
     # makes them sp-varying — mark them varying up front so the fori_loop
-    # carry types match (jax vma rules)
-    m0 = jax.lax.pvary(jnp.full((b, h, sq), -jnp.inf, jnp.float32), (axis,))
-    l0 = jax.lax.pvary(jnp.zeros((b, h, sq), jnp.float32), (axis,))
-    acc0 = jax.lax.pvary(jnp.zeros((b, h, sq, d), jnp.float32), (axis,))
+    # carry types match (jax vma rules). pcast(to='varying') is the
+    # current spelling; older jax only has pvary.
+    if hasattr(jax.lax, "pcast"):
+        _vary = functools.partial(jax.lax.pcast, axis_name=(axis,),
+                                  to="varying")
+    else:  # pragma: no cover - jax < 0.9
+        _vary = functools.partial(jax.lax.pvary, axis_name=(axis,))
+    m0 = _vary(jnp.full((b, h, sq), -jnp.inf, jnp.float32))
+    l0 = _vary(jnp.zeros((b, h, sq), jnp.float32))
+    acc0 = _vary(jnp.zeros((b, h, sq, d), jnp.float32))
     _, _, _, l, acc = jax.lax.fori_loop(0, n, body, (k, v, m0, l0, acc0))
     out = acc / l[..., None]
     return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)

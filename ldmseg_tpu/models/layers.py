@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ldmseg_tpu.core.mesh import constrain_batch
 from ldmseg_tpu.kernels.attention import multi_head_attention
 from ldmseg_tpu.kernels.norms import group_norm_silu
 from ldmseg_tpu.kernels.quant import int8_conv, int8_enabled, int8_matmul
@@ -236,8 +237,11 @@ class ResnetBlock2D(nn.Module):
         h = GroupNorm(self.groups, self.eps, dtype=self.dtype, act=True, name="norm1")(x)
         h = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv1")(h)
         if temb is not None and self.temb_channels is not None:
+            # constrain the silu output too: the fsdp-sharded time_emb_proj
+            # kernel otherwise propagates a contraction-dim sharding back
+            # through the silu mul (the last SPMD remat warning)
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
-                jax.nn.silu(temb)
+                constrain_batch(jax.nn.silu(temb))
             )
             h = h + t[:, None, None, :].astype(h.dtype)
         h = GroupNorm(self.groups, self.eps, dtype=self.dtype, act=True, name="norm2")(h)
@@ -245,7 +249,10 @@ class ResnetBlock2D(nn.Module):
         if in_ch != self.out_channels:
             x = Conv2d(self.out_channels, 1, padding=0, dtype=self.dtype,
                        name="conv_shortcut")(x)
-        return x + h
+        # keep the block output batch-sharded under a dp_scope mesh (see
+        # core/mesh.constrain_batch; measured: removing this one triples
+        # the SPMD remat warnings at the transformer boundaries)
+        return constrain_batch(x + h)
 
 
 class _ProjKernel(nn.Module):
@@ -356,14 +363,20 @@ class BasicTransformerBlock(nn.Module):
         self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(self.heads, self.dim_head, self.dim, dtype=self.dtype,
+        x = constrain_batch(
+            x + Attention(self.heads, self.dim_head, self.dim, dtype=self.dtype,
                           name="attn1")(h)
+        )
         if self.use_cross_attention:
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-            x = x + Attention(self.heads, self.dim_head, self.dim, dtype=self.dtype,
-                              name="attn2")(h, context)
+            x = constrain_batch(
+                x + Attention(self.heads, self.dim_head, self.dim,
+                              dtype=self.dtype, name="attn2")(h, context)
+            )
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
-        x = x + FeedForwardGEGLU(self.dim, dtype=self.dtype, name="ff")(h)
+        x = constrain_batch(
+            x + FeedForwardGEGLU(self.dim, dtype=self.dtype, name="ff")(h)
+        )
         return x
 
 

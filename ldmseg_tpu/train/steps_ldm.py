@@ -143,6 +143,7 @@ def make_ldm_train_step(
     sched: DDIMSchedule,
     tx: optax.GradientTransformation,
     cfg: LDMStepConfig,
+    mesh=None,
 ) -> Callable:
     # the reference trains with epsilon or sample prediction only
     # (trainers_ldm_cond.py:585-590); v_prediction is inference-only
@@ -289,6 +290,17 @@ def make_ldm_train_step(
         batch: Dict[str, jnp.ndarray],
         rng: jax.Array,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        # dp_scope is a trace-time switch: entering it here (inside the
+        # traced function) turns on the UNet's batch-sharding constraints
+        # exactly for this program (see core/mesh.constrain_batch)
+        from contextlib import nullcontext
+
+        from ldmseg_tpu.core.mesh import dp_scope
+
+        with dp_scope(mesh) if mesh is not None else nullcontext():
+            return _train_step_body(state, frozen, batch, rng)
+
+    def _train_step_body(state, frozen, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, frozen, batch, rng

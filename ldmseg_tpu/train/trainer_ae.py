@@ -43,7 +43,7 @@ from ldmseg_tpu.train.checkpoint import (
 from ldmseg_tpu.train.steps_ae import AEStepConfig, make_ae_train_step
 from ldmseg_tpu.utils.meters import AverageMeter, ProgressMeter
 from ldmseg_tpu.utils.metrics_logger import (
-    MetricsLogger, ProfilerHook, host_rss_gb,
+    MetricsLogger, ProfilerHook, host_rss_gb, trim_host_heap,
 )
 from ldmseg_tpu.utils.visualize import colorize_ids, make_row, stack_rows, write_image
 
@@ -375,6 +375,7 @@ class TrainerAE:
                 )
             else:
                 raise NotImplementedError(name)
+        trim_host_heap()  # eval device_gets GBs of logits; return freed pages
         return results
 
     def compute_miou(self, threshold_output=False, save_images=False,
@@ -470,6 +471,7 @@ class TrainerAE:
         import gc
 
         gc.collect()
+        trim_host_heap()
         self.metrics_logger.log({"save/rss_gb": host_rss_gb()}, step=self.step)
         print(f"Saved checkpoint at epoch {epoch}")
 
@@ -495,8 +497,12 @@ class TrainerAE:
             )
             print("Restored optimizer state")
         self.start_epoch = int(data["epoch"]) + 1
-        self.step = int(data["epoch"] + 1) * self.num_iters_per_epoch + 1
-        print(f"Resumed from epoch {data['epoch']}")
+        # restore the saved counter exactly (see trainer_ldm.resume)
+        if data.get("step") is not None:
+            self.step = int(data["step"])
+        else:
+            self.step = int(data["epoch"] + 1) * self.num_iters_per_epoch + 1
+        print(f"Resumed from epoch {data['epoch']} (step {self.step})")
 
     def load(self, model_path: Optional[str] = None):
         if model_path is None or not os.path.exists(model_path):

@@ -62,7 +62,7 @@ from ldmseg_tpu.train.steps_ldm import LDMStepConfig, make_encode_fns, make_ldm_
 from ldmseg_tpu.train.trainer_ae import build_seg_vae_config
 from ldmseg_tpu.utils.meters import AverageMeter, ProgressMeter
 from ldmseg_tpu.utils.metrics_logger import (
-    MetricsLogger, ProfilerHook, host_rss_gb,
+    MetricsLogger, ProfilerHook, host_rss_gb, trim_host_heap,
 )
 from ldmseg_tpu.utils.visualize import (
     colorize_ids,
@@ -341,7 +341,7 @@ class TrainerDiffusion:
         self._train_step = jax.jit(
             make_ldm_train_step(
                 self.unet, self.seg_vae, self.sd_vae, self.sched, self.tx,
-                self.step_cfg,
+                self.step_cfg, mesh=self.mesh,
             ),
             donate_argnums=(0,),
         )
@@ -651,6 +651,7 @@ class TrainerDiffusion:
                 break
 
         results = evaluator.evaluate()
+        trim_host_heap()  # eval device_gets GBs of logits; return freed pages
         if results is not None and jax.process_index() == 0:
             self.metrics_logger.log(
                 dict({f"val/{k}": v for k, v in results["panoptic_seg"].items()},
@@ -808,6 +809,7 @@ class TrainerDiffusion:
         import gc
 
         gc.collect()
+        trim_host_heap()
         self.metrics_logger.log(
             {"save/rss_gb": host_rss_gb()}, step=self.step
         )
@@ -843,8 +845,16 @@ class TrainerDiffusion:
             }
         self.best_pq = float(data.get("best_pq", 0.0) or 0.0)
         self.start_epoch = int(data["epoch"]) + 1
-        self.step = (int(data["epoch"]) + 1) * self.num_iters_per_epoch + 1
-        print(f"Resumed from epoch {data['epoch']}")
+        # restore the saved trainer-side counter exactly (the reference
+        # restores its saved counter too, trainers_ldm_cond.py:1848-1849);
+        # recomputing from epoch*iters would silently shift the vis/eval
+        # cadence if dataset size / batch / accumulate changed between
+        # save and resume. Old checkpoints without "step" fall back.
+        if data.get("step") is not None:
+            self.step = int(data["step"])
+        else:
+            self.step = (int(data["epoch"]) + 1) * self.num_iters_per_epoch + 1
+        print(f"Resumed from epoch {data['epoch']} (step {self.step})")
 
     def load(self, model_path: Optional[str] = None, load_vae: bool = True):
         """Cross-stage / pretrained loader; accepts reference .pt checkpoints."""

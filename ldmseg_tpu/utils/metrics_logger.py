@@ -33,6 +33,23 @@ def host_rss_gb() -> float:
     return 0.0
 
 
+def trim_host_heap() -> None:
+    """Return freed glibc heap pages to the kernel (``malloc_trim(0)``).
+
+    The save/eval cycles device_get multi-GB payloads; glibc keeps the
+    freed arenas mapped, which reads as monotonic RSS growth on long
+    tunneled-TPU runs (round-2 postmortem: OOM at 130GB host RSS). Calling
+    malloc_trim after each save/eval returns those pages. No-op if libc
+    is unavailable (non-glibc platforms).
+    """
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except OSError:  # pragma: no cover
+        pass
+
+
 class MetricsLogger:
     def __init__(self, run_dir: str, use_wandb: bool = False,
                  project: str = "ldmseg-tpu", name: Optional[str] = None):

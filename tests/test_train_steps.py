@@ -306,3 +306,45 @@ def test_grad_accumulation_multisteps():
     state, _ = step(state, batch, jax.random.PRNGKey(0))
     p2 = jax.tree_util.tree_leaves(state.params)[0]
     assert np.abs(np.asarray(p2) - np.asarray(p0)).max() > 0
+
+
+def test_constrain_batch_scoping(cpu_devices):
+    """constrain_batch is identity outside dp_scope / on a 1x1 mesh, and
+    pins the batch sharding over data x fsdp inside a multi-device scope
+    (the mechanism behind the UNet's clean 8-device SPMD compile)."""
+    from ldmseg_tpu.core.mesh import constrain_batch, dp_scope
+
+    x = jnp.ones((8, 4))
+    # outside any scope: identity (same object, not even a constraint op)
+    assert constrain_batch(x) is x
+    # 1-device scope: still identity
+    mesh1 = make_mesh(MeshSpec(data=1, fsdp=1), devices=jax.devices()[:1])
+    with dp_scope(mesh1):
+        assert constrain_batch(x) is x
+
+    mesh = make_mesh(MeshSpec(data=4, fsdp=2))
+
+    @jax.jit
+    def f(x):
+        with dp_scope(mesh):
+            return constrain_batch(x * 2.0)
+
+    y = f(jax.device_put(x, batch_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(y), 2.0 * np.asarray(x))
+    assert y.sharding.spec == P(("data", "fsdp"))
+
+
+def test_fsdp_spec_prefers_output_dim(cpu_devices):
+    """Parameter fsdp sharding picks the LAST divisible axis (output
+    features): contraction-dim sharding makes SPMD want contraction-sharded
+    activations and fall back to full rematerialization (see core/mesh)."""
+    from ldmseg_tpu.core.mesh import _fsdp_spec
+
+    assert _fsdp_spec((1280, 320), 2, min_size=0) == P(None, "fsdp")
+    assert _fsdp_spec((3, 3, 320, 640), 2, min_size=0) == P(
+        None, None, None, "fsdp")
+    # odd last dim falls back to an earlier divisible axis
+    assert _fsdp_spec((640, 7), 2, min_size=0) == P("fsdp", None)
+    # too small or fsdp=1: replicated
+    assert _fsdp_spec((16, 16), 2, min_size=2**16) == P()
+    assert _fsdp_spec((1280, 320), 1, min_size=0) == P()

@@ -372,6 +372,43 @@ def test_trainer_diffusion_resume_continues_identically(tmp_path, examples_root)
     assert snap is not None and snap["optimizer_save_optim"] is True
 
 
+def test_trainer_resume_restores_saved_step_counter(tmp_path, examples_root):
+    """resume() restores the SAVED trainer-side step counter, even when the
+    batch size (hence num_iters_per_epoch) changed between save and resume
+    — recomputing (epoch+1)*iters+1 would silently shift the vis/eval
+    cadence and logged positions. Reference restores its saved counter:
+    trainers_ldm_cond.py:1848-1849. The optax schedule position
+    (state.step) is asserted restored exactly too."""
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+
+    def build(folder, p):
+        ds_t, ds_v = _datasets(examples_root, p)
+        mesh = make_mesh(MeshSpec(data=1, fsdp=1), devices=jax.devices()[:1])
+        return TrainerDiffusion(
+            p, mesh=mesh, results_folder=folder,
+            dataset_train=ds_t, dataset_val=ds_v,
+            unet_cfg=tiny_unet_config(in_channels=8, cond_channels=4),
+            sd_vae_cfg=SDVAEConfig(block_out_channels=(8, 8, 8, 8),
+                                   layers_per_block=1, norm_num_groups=4,
+                                   dtype="float32"),
+        )
+
+    p = tiny_config(tmp_path)
+    p["optimizer_save_optim"] = True
+    a = build(str(tmp_path / "run"), p)
+    a.step = 7
+    a.state = a.state.replace(step=a.state.step + 7)
+    a.save(epoch=2)
+
+    p2 = dict(p, train_kwargs=dict(p["train_kwargs"], batch_size=2))
+    c = build(str(tmp_path / "run"), p2)
+    assert c.num_iters_per_epoch != a.num_iters_per_epoch  # premise
+    c.resume(load_vae=True)
+    assert c.step == 7
+    assert int(c.state.step) == 7
+    assert c.start_epoch == 3
+
+
 def test_trainer_diffusion_loads_stage1_orbax_checkpoint(
     tmp_path, examples_root
 ):
