@@ -91,8 +91,9 @@ def main():
     latent = image_size // 8
 
     # BENCH_HEAD_DIM=<int>: TPU-native head partitioning (heads = ch // d
-    # per level); 0/unset = SD v1's 8-head split
-    head_dim = int(os.environ.get("BENCH_HEAD_DIM", "0")) or None
+    # per level). Default 128 — measured +28% over SD v1's 8-head split
+    # (d=40 pads to 128 MXU lanes; see BENCHMARKS.md round 3). 0 = SD split.
+    head_dim = int(os.environ.get("BENCH_HEAD_DIM", "128")) or None
     unet_cfg = UNetConfig(in_channels=8, cond_channels=4, out_channels=4,
                           use_cross_attention=False, dtype="bfloat16",
                           attention_head_dim=head_dim)

@@ -110,20 +110,49 @@ def dp_scope(mesh: Mesh):
         _DP_MESH.pop()
 
 
+def _active_batch_sharding() -> Optional[NamedSharding]:
+    if current_sp_mesh() is not None:
+        return None
+    for mesh in reversed(_DP_MESH):
+        if mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1) > 1:
+            return NamedSharding(mesh, P(("data", "fsdp")))
+    return None
+
+
 def constrain_batch(x):
     """Re-assert leading-axis (batch) sharding on an activation.
 
     No-op outside ``dp_scope`` or when the scoped mesh has a single
     data x fsdp device — and under ``sp_scope`` (spatially partitioned
     serving constrains rows separately via ``spatial_sharding``)."""
-    if current_sp_mesh() is not None:
+    sh = _active_batch_sharding()
+    if sh is None:
         return x
-    for mesh in reversed(_DP_MESH):
-        if mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1) > 1:
-            return jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, P(("data", "fsdp")))
-            )
-    return x
+    return jax.lax.with_sharding_constraint(x, sh)
+
+
+def constrain_batch_fwd(x):
+    """Forward-only ``constrain_batch``: the activation is pinned to batch
+    sharding, but the backward cotangent passes through UNconstrained.
+
+    with_sharding_constraint transposes to itself, which pins cotangents
+    too — at conv-block outputs that conflicts with the fsdp-sharded conv
+    weight-grad layout (the wgrad wants the cotangent free to pick a
+    partial-sum + reduce-scatter strategy) and GSPMD falls back to
+    replicate-then-repartition. Identity VJP sidesteps exactly that."""
+    sh = _active_batch_sharding()
+    if sh is None:
+        return x
+
+    @jax.custom_vjp
+    def pin(x):
+        return jax.lax.with_sharding_constraint(x, sh)
+
+    pin.defvjp(
+        lambda x: (jax.lax.with_sharding_constraint(x, sh), None),
+        lambda _, g: (g,),
+    )
+    return pin(x)
 
 
 def spatial_sharding(mesh: Mesh) -> NamedSharding:
@@ -176,6 +205,50 @@ def shard_params_fsdp(params: Any, mesh: Mesh, min_size: int = 2**16) -> Any:
     def one(leaf):
         spec = _fsdp_spec(np.shape(leaf), fsdp_size, min_size)
         return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map(one, params)
+
+
+def zero1_gather(params: Any, mesh: Mesh, min_size: int = 2**16) -> Any:
+    """Explicit ZeRO-1 parameter gather, for use INSIDE a jitted train step.
+
+    Forward: every fsdp-sharded leaf (same `_fsdp_spec` rule as
+    ``shard_params_fsdp``) is constrained to replicated — XLA inserts one
+    all-gather per param at step start and the whole model forward/backward
+    computes with replicated weights, i.e. pure batch-data-parallelism with
+    no weight-layout/activation-layout conflicts for the SPMD partitioner
+    to resolve (the source of every "[SPMD] Involuntary full
+    rematerialization" warning in the annotation-propagated version).
+
+    Backward: the gradient cotangent is constrained back to the fsdp
+    sharding — batch-partial sums combine via reduce-scatter straight into
+    the layout the sharded optimizer state expects.
+
+    This is the reference's ZeRO-1 made explicit
+    (/root/reference/ldmseg/trainers/optim.py:40-49: shard optimizer state,
+    compute with full params), expressed as two sharding constraints.
+    No-op when the mesh has fsdp == 1.
+    """
+    fsdp_size = mesh.shape.get("fsdp", 1)
+    if fsdp_size <= 1:
+        return params
+
+    def one(leaf):
+        spec = _fsdp_spec(np.shape(leaf), fsdp_size, min_size)
+        if spec == P():
+            return leaf
+        sharded = NamedSharding(mesh, spec)
+        gathered = NamedSharding(mesh, P())
+
+        @jax.custom_vjp
+        def gather(x):
+            return jax.lax.with_sharding_constraint(x, gathered)
+
+        gather.defvjp(
+            lambda x: (jax.lax.with_sharding_constraint(x, gathered), None),
+            lambda _, g: (jax.lax.with_sharding_constraint(g, sharded),),
+        )
+        return gather(leaf)
 
     return jax.tree_util.tree_map(one, params)
 

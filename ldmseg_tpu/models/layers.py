@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ldmseg_tpu.core.mesh import constrain_batch
+from ldmseg_tpu.core.mesh import constrain_batch_fwd
 from ldmseg_tpu.kernels.attention import multi_head_attention
 from ldmseg_tpu.kernels.norms import group_norm_silu
 from ldmseg_tpu.kernels.quant import int8_conv, int8_enabled, int8_matmul
@@ -241,7 +241,7 @@ class ResnetBlock2D(nn.Module):
             # kernel otherwise propagates a contraction-dim sharding back
             # through the silu mul (the last SPMD remat warning)
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
-                constrain_batch(jax.nn.silu(temb))
+                constrain_batch_fwd(jax.nn.silu(temb))
             )
             h = h + t[:, None, None, :].astype(h.dtype)
         h = GroupNorm(self.groups, self.eps, dtype=self.dtype, act=True, name="norm2")(h)
@@ -249,10 +249,12 @@ class ResnetBlock2D(nn.Module):
         if in_ch != self.out_channels:
             x = Conv2d(self.out_channels, 1, padding=0, dtype=self.dtype,
                        name="conv_shortcut")(x)
-        # keep the block output batch-sharded under a dp_scope mesh (see
-        # core/mesh.constrain_batch; measured: removing this one triples
-        # the SPMD remat warnings at the transformer boundaries)
-        return constrain_batch(x + h)
+        # keep the block output batch-sharded under a dp_scope mesh
+        # (measured: removing this one triples the SPMD remat warnings at
+        # the transformer boundaries). FORWARD-only: pinning the cotangent
+        # too conflicts with the fsdp conv_shortcut weight-grad layout
+        # (the last two remat warnings were its transpose)
+        return constrain_batch_fwd(x + h)
 
 
 class _ProjKernel(nn.Module):
@@ -363,18 +365,18 @@ class BasicTransformerBlock(nn.Module):
         self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        x = constrain_batch(
+        x = constrain_batch_fwd(
             x + Attention(self.heads, self.dim_head, self.dim, dtype=self.dtype,
                           name="attn1")(h)
         )
         if self.use_cross_attention:
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-            x = constrain_batch(
+            x = constrain_batch_fwd(
                 x + Attention(self.heads, self.dim_head, self.dim,
                               dtype=self.dtype, name="attn2")(h, context)
             )
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
-        x = constrain_batch(
+        x = constrain_batch_fwd(
             x + FeedForwardGEGLU(self.dim, dtype=self.dtype, name="ff")(h)
         )
         return x

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
 
-from ldmseg_tpu.core.mesh import constrain_batch
+from ldmseg_tpu.core.mesh import constrain_batch_fwd
 from ldmseg_tpu.kernels.quant import quant_scope
 
 from .layers import (
@@ -221,7 +221,7 @@ class CondUNet(nn.Module):
         # pin the [B, temb_dim] embedding to batch sharding (see
         # core/mesh.constrain_batch): it feeds every resnet's time_emb_proj
         # whose fsdp-sharded kernel otherwise flips its sharding
-        emb = constrain_batch(temb_mlp(t_emb))
+        emb = constrain_batch_fwd(temb_mlp(t_emb))
 
         emb_img = None
         if cfg.separate_encoder:
@@ -236,7 +236,7 @@ class CondUNet(nn.Module):
                 flip_sin_to_cos=cfg.flip_sin_to_cos,
                 downscale_freq_shift=cfg.freq_shift,
             ).astype(dt)
-            emb_img = constrain_batch(temb_mlp(t_emb_img))
+            emb_img = constrain_batch_fwd(temb_mlp(t_emb_img))
 
         # 2. conditioning pre-processing
         context = encoder_hidden_states

@@ -144,6 +144,7 @@ def make_ldm_train_step(
     tx: optax.GradientTransformation,
     cfg: LDMStepConfig,
     mesh=None,
+    fsdp_min_size: int = 2**16,
 ) -> Callable:
     # the reference trains with epsilon or sample prediction only
     # (trainers_ldm_cond.py:585-590); v_prediction is inference-only
@@ -157,6 +158,15 @@ def make_ldm_train_step(
         )
 
     def loss_fn(params, frozen, batch, rng):
+        # explicit ZeRO-1: all-gather fsdp-sharded params once per step
+        # (fwd) / reduce-scatter grads back to the sharded layout (bwd);
+        # everything in between is pure batch-DP (core/mesh.zero1_gather).
+        # fsdp_min_size must match the shard_params_fsdp call that placed
+        # the state (trainer: default; dryrun: 2**8).
+        if mesh is not None and mesh.shape.get("fsdp", 1) > 1:
+            from ldmseg_tpu.core.mesh import zero1_gather
+
+            params = zero1_gather(params, mesh, fsdp_min_size)
         keys = jax.random.split(rng, 10)
         (r_seg, r_rgb, r_noise, r_t, r_top, r_rgbn, r_condn, r_inp, r_drop,
          r_tp) = keys

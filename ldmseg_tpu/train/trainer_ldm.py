@@ -73,6 +73,14 @@ from ldmseg_tpu.utils.visualize import (
 )
 
 
+def _resolve_head_dim(value, pretrained_path):
+    """'auto' → 128 (TPU-native) for scratch runs, None (SD-v1 8-head
+    split) when converted SD weights are loaded; int/None pass through."""
+    if value != "auto":
+        return value
+    return None if pretrained_path else 128
+
+
 def build_unet_config(p: Dict[str, Any]) -> UNetConfig:
     mk = p["model_kwargs"]
     descriptors = p["train_kwargs"].get("image_descriptors", "remove")
@@ -95,9 +103,16 @@ def build_unet_config(p: Dict[str, Any]) -> UNetConfig:
         separate_encoder=mk.get("separate_encoder", False),
         add_adaptor=mk.get("add_adaptor", False),
         use_cross_attention=descriptors != "remove",
-        # TPU-native head partitioning (None = SD-v1 8-head split; required
-        # None when loading converted SD weights)
-        attention_head_dim=mk.get("attention_head_dim"),
+        # TPU-native head partitioning. "auto" (the base.yaml default) picks
+        # d=128 for scratch training — measured +28% sampling throughput on
+        # v5e (BENCHMARKS.md round 3) because QK^T/PV then contract over all
+        # 128 MXU lanes instead of SD v1's d=40 padding — and falls back to
+        # the SD-v1 8-head split when loading converted SD weights (the
+        # checkpoint was *trained* with 8 heads; the head split is a reshape,
+        # not a param shape, so numerics not loading would break).
+        attention_head_dim=_resolve_head_dim(
+            mk.get("attention_head_dim"), p.get("pretrained_model_path")
+        ),
         encoder_hid_dim=1024 if descriptors == "clip_image" else None,
         num_object_queries=128 if descriptors == "learnable" else None,
         input_dropout=p["train_kwargs"].get("dropout", 0.0),

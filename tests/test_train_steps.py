@@ -181,6 +181,79 @@ def test_ldm_train_step_full_featured(cpu_devices):
     assert max(jax.tree_util.tree_leaves(d)) > 0
 
 
+def test_zero1_gather_matches_unsharded(cpu_devices):
+    """The explicit ZeRO-1 param gather (core/mesh.zero1_gather: all-gather
+    fsdp-sharded params fwd, reduce-scatter grad cotangents bwd) is purely
+    a layout choice: one train step on a data=4 x fsdp=2 mesh with sharded
+    params/opt-state must produce the same loss and updated params as the
+    unsharded step. Parity target: the reference's ZeRO-1
+    (ldmseg/trainers/optim.py:40-49) is exact w.r.t. plain DDP too."""
+    from ldmseg_tpu.core.mesh import shard_params_fsdp
+
+    def run(mesh, fsdp_min_size=2 ** 8):
+        seg_vae = SegVAE(TINY_AE)
+        sd_vae = SDVAE(TINY_SD)
+        unet = CondUNet(tiny_unet_config(in_channels=8, cond_channels=4))
+        rng = np.random.default_rng(3)
+        batch = _ldm_batch(rng)
+        seg_params = seg_vae.init(
+            {"params": jax.random.PRNGKey(0)}, batch["image_semseg"],
+            rng=jax.random.PRNGKey(1),
+        )["params"]
+        sd_params = sd_vae.init(
+            {"params": jax.random.PRNGKey(2)}, batch["image"],
+            rng=jax.random.PRNGKey(3),
+        )["params"]
+        unet_params = unet.init(
+            jax.random.PRNGKey(4), jnp.zeros((8, 4, 4, 12)), jnp.array([1])
+        )["params"]
+        sched = make_schedule(
+            num_train_timesteps=100, beta_schedule="scaled_linear",
+            beta_start=0.00085, beta_end=0.012, weight="max_clamp_snr",
+            max_snr=2.0, clip_sample=False, set_alpha_to_one=False,
+        )
+        cfg = LDMStepConfig(self_condition=True, latent_size=4, use_ema=False)
+        # sgd/momentum=0: the update is LINEAR in the gradient, so the only
+        # zero1-vs-unsharded difference is fp32 reduction-order rounding
+        # (~1e-7 on the grads -> ~1e-10 on params). One-step adam is
+        # sign(g)*lr and flips on near-zero grads under a different
+        # (reduce-scatter) summation order — 2*lr false diffs.
+        tx = make_optimizer(
+            unet_params, OptimConfig(name="sgd", momentum=0.0, lr=1e-3,
+                                     clip_grad=1.0),
+            make_lr_schedule("constant", 1e-3, 100),
+        )
+        state = TrainState.create(unet_params, tx, ema=False)
+        frozen = {"seg_vae": seg_params, "sd_vae": sd_params}
+        if mesh is not None:
+            param_sh = shard_params_fsdp(state.params, mesh,
+                                         min_size=fsdp_min_size)
+            state = state.replace(
+                params=jax.device_put(state.params, param_sh),
+                opt_state=jax.device_put(
+                    state.opt_state, replicated_sharding(mesh)),
+            )
+            frozen = jax.device_put(frozen, replicated_sharding(mesh))
+            batch = jax.device_put(
+                batch, jax.tree_util.tree_map(
+                    lambda _: batch_sharding(mesh), batch))
+        step = jax.jit(make_ldm_train_step(
+            unet, seg_vae, sd_vae, sched, tx, cfg, mesh=mesh,
+            fsdp_min_size=fsdp_min_size,
+        ))
+        state, metrics = step(state, frozen, batch, jax.random.PRNGKey(9))
+        return float(metrics["loss"]), jax.device_get(state.params)
+
+    loss_ref, params_ref = run(None)
+    loss_z1, params_z1 = run(make_mesh(MeshSpec(data=4, fsdp=2)))
+    assert abs(loss_ref - loss_z1) < 1e-5, (loss_ref, loss_z1)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        params_ref, params_z1,
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+
 def _tiny_ldm_setup(rng_seed=0, accumulate=1, use_ema=True,
                     prob_inpainting=0.0, sched_kwargs=None):
     seg_vae = SegVAE(TINY_AE)

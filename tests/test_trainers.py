@@ -115,6 +115,24 @@ def _datasets(examples_root, p):
     )
 
 
+def test_head_dim_auto_resolution(tmp_path):
+    """'auto' attention_head_dim = 128 for scratch runs (the measured +28%
+    TPU-native split, BENCHMARKS.md round 3) but SD-v1 8-head split (None)
+    when converted SD weights load — they were trained with 8 heads, and
+    convert_sd_unet asserts the config matches."""
+    from ldmseg_tpu.train.trainer_ldm import build_unet_config
+
+    p = tiny_config(tmp_path)
+    p["model_kwargs"]["attention_head_dim"] = "auto"
+    assert build_unet_config(p).attention_head_dim == 128
+    p["pretrained_model_path"] = "/some/sd-v1-4"
+    assert build_unet_config(p).attention_head_dim is None
+    p["model_kwargs"]["attention_head_dim"] = 160  # explicit wins
+    assert build_unet_config(p).attention_head_dim == 160
+    p["model_kwargs"]["attention_head_dim"] = None
+    assert build_unet_config(p).attention_head_dim is None
+
+
 def test_trainer_diffusion_smoke(tmp_path, examples_root):
     """TrainerDiffusion: init from scratch, train a few steps, sample + PQ."""
     from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
