@@ -39,6 +39,10 @@ class AEStepConfig:
     ignore_label: int = 0
     downsample_factor: int = 8
     do_matching: bool = False  # Hungarian matcher variant (losses.py:364-394)
+    # compact host->device wire format (see steps_ldm.decompress_batch)
+    compact_inputs: bool = False
+    num_bits: int = 7
+    bits_fill_value: float = 0.5
 
 
 def make_ae_train_step(
@@ -52,6 +56,10 @@ def make_ae_train_step(
     encoder produces the bottleneck moments; only the seg decoder trains."""
 
     def loss_fn(params, batch, rng, frozen=None):
+        if cfg.compact_inputs:
+            from .steps_ldm import decompress_batch
+
+            batch = decompress_batch(batch, cfg)
         r_corrupt1, r_corrupt2, r_post, r_loss = jax.random.split(rng, 4)
         images = 2.0 * batch["image_semseg"] - 1.0        # [B,H,W,Cbits]
         targets = batch["semseg"].astype(jnp.int32)        # [B,H,W]

@@ -56,6 +56,14 @@ class LDMStepConfig:
     ema_decay: float = 0.9999
     use_ema: bool = False
     dropout: float = 0.0
+    # compact host->device transfer: the trainer ships `image` as uint8 and
+    # drops `image_semseg` entirely (re-derived on device from the uint8
+    # `semseg` ids via encode_bitmap_jnp) — ~6x fewer bytes per step over
+    # the interconnect; numerically exact for the bits encoding and
+    # unnormalized images (see decompress_batch)
+    compact_inputs: bool = False
+    num_bits: int = 7
+    bits_fill_value: float = 0.5
 
 
 def elementwise_loss(pred, target, loss_type: str):
@@ -95,6 +103,45 @@ def build_loss_mask(
         assert padding_mask is not None
         return nearest_resize_torch(padding_mask.astype(jnp.float32), size)
     return None
+
+
+def decompress_batch(batch, cfg):
+    # cfg: LDMStepConfig or AEStepConfig (needs .num_bits, .bits_fill_value,
+    # .ignore_label only)
+    """Reconstruct the full training batch from its compact wire format.
+
+    The trainer's compact transfer (trainer_ldm._device_batch with
+    ``compact_transfer``) ships `image` as uint8 and omits `image_semseg`;
+    this re-derives both on device, value-identically in exact arithmetic
+    (observed diffs are <=1 ulp from XLA lowering choices, e.g. /255 as a
+    reciprocal multiply — tests/test_train_steps.py bounds the one-step
+    effect at ~1e-7 on params):
+
+      * image: uint8 -> float32/255 is the exact inverse of the loader's
+        ToNumpy /255 (values are k/255 for integer k; unnormalized images
+        only — the trainer keeps the fp32 path when `normalize` is on),
+      * image_semseg: bit-encode the uint8 `semseg` ids on device
+        (encode_bitmap_jnp == the host encode_bitmap LUT: {0,1} bits,
+        ignore pixels = fill_value).
+
+    Cuts per-step host->device bytes ~6x (B=8 @ 512^2 rgb / 256^2 seg:
+    ~44 MB -> ~7 MB) — this is the hot host->device path the reference
+    pays per iteration via its CUDA dataloader (coco.py:377-390 encodes
+    on host and ships float tensors).
+    """
+    batch = dict(batch)
+    img = batch.get("image")
+    if img is not None and img.dtype == jnp.uint8:
+        batch["image"] = img.astype(jnp.float32) / 255.0
+    if "image_semseg" not in batch:
+        from ldmseg_tpu.data.encodings import encode_bitmap_jnp
+
+        bits, _ = encode_bitmap_jnp(
+            batch["semseg"].astype(jnp.int32), n=cfg.num_bits,
+            fill_value=cfg.bits_fill_value, ignore_label=cfg.ignore_label,
+        )
+        batch["image_semseg"] = bits
+    return batch
 
 
 def make_encode_fns(
@@ -167,6 +214,8 @@ def make_ldm_train_step(
             from ldmseg_tpu.core.mesh import zero1_gather
 
             params = zero1_gather(params, mesh, fsdp_min_size)
+        if cfg.compact_inputs:
+            batch = decompress_batch(batch, cfg)
         keys = jax.random.split(rng, 10)
         (r_seg, r_rgb, r_noise, r_t, r_top, r_rgbn, r_condn, r_inp, r_drop,
          r_tp) = keys

@@ -216,6 +216,11 @@ class TrainerAE:
         self.state = TrainState.create(params, self.tx)
 
         # jitted steps
+        self._compact_transfer = (
+            tk.get("compact_transfer", True)
+            and tk.get("encoding_mode", "bits") == "bits"
+            and not p["transformation_kwargs"].get("normalize", False)
+        )
         self.step_cfg = AEStepConfig(
             loss_cfg=SegLossConfig(
                 ignore_label=self.ignore_label,
@@ -234,6 +239,11 @@ class TrainerAE:
             fuse_rgb=self.vae_cfg.fuse_rgb,
             ignore_label=self.ignore_label,
             downsample_factor=self.vae_cfg.downsample_factor,
+            # compact wire format (steps_ldm.decompress_batch): exact only
+            # for bits encoding on unnormalized images — see trainer_ldm
+            compact_inputs=self._compact_transfer,
+            num_bits=p.get("num_bits", 7),
+            bits_fill_value=p.get("fill_value", 0.5),
         )
         bs = batch_sharding(self.mesh)
         rs = replicated_sharding(self.mesh)
@@ -256,9 +266,18 @@ class TrainerAE:
         keys = ["image_semseg", "semseg"]
         if self.vae_cfg.fuse_rgb:
             keys.append("image")
+        host = {k: np.asarray(batch[k]) for k in keys}
+        if self._compact_transfer:
+            # compact wire format (steps_ldm.decompress_batch): uint8 ids,
+            # uint8 rgb, no image_semseg — re-derived on device, exactly
+            host.pop("image_semseg", None)
+            host["semseg"] = host["semseg"].astype(np.uint8)
+            if "image" in host:
+                host["image"] = np.round(
+                    host["image"] * 255.0).astype(np.uint8)
         return {
-            k: jax.device_put(jnp.asarray(batch[k]), self._batch_sharding)
-            for k in keys
+            k: jax.device_put(jnp.asarray(v), self._batch_sharding)
+            for k, v in host.items()
         }
 
     def _eval_forward_impl(self, params, images, rgbs):

@@ -174,6 +174,7 @@ class TrainerDiffusion:
         self.accumulate = tk.get("accumulate", 1)
         self.train_num_steps = tk["train_num_steps"]
         self.print_freq = ek.get("print_freq", 100)
+        self._last_trim_step = 0
         self.save_and_sample_every = ek.get("vis_every", 1000)
         self.mask_th = ek["mask_th"]
         self.count_th = ek["count_th"]
@@ -332,6 +333,15 @@ class TrainerDiffusion:
         self.state = TrainState.create(unet_params, self.tx, ema=self.use_ema)
 
         # jitted step + sampler --------------------------------------------------
+        # compact host->device transfer (steps_ldm.decompress_batch): ship
+        # uint8 rgb + uint8 seg ids, re-derive fp32 image / bit-encoded
+        # image_semseg on device. Exact only for bits encoding without
+        # host-side normalization; default ON there (pure wire-format win).
+        self._compact_transfer = (
+            tk.get("compact_transfer", True)
+            and tk.get("encoding_mode", "bits") == "bits"
+            and not p["transformation_kwargs"].get("normalize", False)
+        )
         self.step_cfg = LDMStepConfig(
             scaling_factor_image=self.sd_vae_cfg.scaling_factor,
             scaling_factor_seg=self.vae_cfg.scaling_factor,
@@ -352,6 +362,11 @@ class TrainerDiffusion:
             use_ema=self.use_ema,
             ema_decay=p.get("ema_kwargs", {}).get("decay", 0.9999),
             dropout=tk.get("dropout", 0.0),
+            # compact wire format (uint8 image, on-device bit-encode) is
+            # exact only for the bits encoding on unnormalized images
+            compact_inputs=self._compact_transfer,
+            num_bits=p.get("num_bits", 7),
+            bits_fill_value=p.get("fill_value", 0.5),
         )
         self._train_step = jax.jit(
             make_ldm_train_step(
@@ -518,9 +533,21 @@ class TrainerDiffusion:
     # -- training -------------------------------------------------------------
     def _device_batch(self, batch):
         keys = ["image_semseg", "semseg", "image", "mask", "inpainting_mask"]
+        host = {k: np.asarray(batch[k]) for k in keys if k in batch}
+        if self._compact_transfer:
+            # compact wire format (steps_ldm.decompress_batch re-derives the
+            # full batch on device, numerically exactly): uint8 rgb (the
+            # loader's fp32 values are k/255 by construction), uint8 ids and
+            # masks, and no image_semseg at all — ~6x fewer bytes per step
+            # through the interconnect
+            host.pop("image_semseg", None)
+            host["image"] = np.round(host["image"] * 255.0).astype(np.uint8)
+            for k in ("semseg", "mask", "inpainting_mask"):
+                if k in host:
+                    host[k] = host[k].astype(np.uint8)
         db = {
-            k: jax.device_put(jnp.asarray(batch[k]), self._batch_sharding)
-            for k in keys if k in batch
+            k: jax.device_put(jnp.asarray(v), self._batch_sharding)
+            for k, v in host.items()
         }
         ctx = self._batch_context(batch)
         if ctx is not None:
@@ -558,6 +585,13 @@ class TrainerDiffusion:
                     step=self.step,
                 )
                 pending.clear()
+                if self.step - self._last_trim_step >= 100:
+                    # bound glibc arena garbage between eval/save trims —
+                    # the per-step transfer garbage otherwise accumulates
+                    # ~GBs per 100 steps on the tunneled backend
+                    # (tools/repro_rss.py; BENCHMARKS.md host-RSS section)
+                    self._last_trim_step = self.step
+                    trim_host_heap()
             if self.check_iter(batch_idx, epoch) and jax.process_index() == 0:
                 self.log_images_train(batch, db, metrics)
 

@@ -40,6 +40,57 @@ def _ae_batch(rng, b=8, hw=32):
     }
 
 
+def test_ae_compact_inputs_exact(cpu_devices):
+    """AE train step: compact wire format (uint8 ids, no image_semseg)
+    matches the fp32 batch up to float rounding (different XLA graphs;
+    see test_compact_inputs_exact). The AE path has no /255 at all — the
+    bit-encode itself is value-identical — but graph-level fusion
+    differences still require a small tolerance with adamw; sgd keeps the
+    one-step diff linear in the grad diff."""
+    from ldmseg_tpu.data.encodings import encode_bitmap
+
+    model = SegVAE(TINY_AE)
+    rng = np.random.default_rng(5)
+    b, hw = 8, 32
+    semseg = rng.integers(0, 8, size=(b, hw, hw)).astype(np.uint8)
+    bits = np.stack([
+        encode_bitmap(s, n=7, fill_value=0.5, ignore_label=0)[0]
+        for s in semseg
+    ])
+    full = {"image_semseg": jnp.asarray(bits),
+            "semseg": jnp.asarray(semseg.astype(np.int32))}
+    compact = {"semseg": jnp.asarray(semseg)}
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, full["image_semseg"],
+        rng=jax.random.PRNGKey(1),
+    )
+
+    def run(batch, compact_inputs):
+        cfg = AEStepConfig(
+            loss_cfg=SegLossConfig(num_points=64, num_classes=16, max_masks=8),
+            w_kl=1e-6, compact_inputs=compact_inputs, bits_fill_value=0.5,
+        )
+        tx = make_optimizer(
+            variables["params"],
+            OptimConfig(name="sgd", momentum=0.0, lr=1e-3, clip_grad=3.0),
+            make_lr_schedule("warmup", 1e-3, 100, warmup_iters=5),
+        )
+        state = TrainState.create(variables["params"], tx)
+        step = jax.jit(make_ae_train_step(model, tx, cfg))
+        state, metrics = step(state, batch, jax.random.PRNGKey(42))
+        return float(metrics["loss"]), jax.device_get(state.params)
+
+    loss_full, params_full = run(full, False)
+    loss_c, params_c = run(compact, True)
+    assert abs(loss_full - loss_c) < 1e-5, (loss_full, loss_c)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        params_full, params_c,
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+
 def test_ae_train_step_runs_and_learns(cpu_devices):
     mesh = make_mesh(MeshSpec(data=8, fsdp=1))
     model = SegVAE(TINY_AE)
@@ -250,6 +301,87 @@ def test_zero1_gather_matches_unsharded(cpu_devices):
     diffs = jax.tree_util.tree_map(
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
         params_ref, params_z1,
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+
+def test_compact_inputs_exact(cpu_devices):
+    """The compact wire format (uint8 rgb + uint8 ids, no image_semseg;
+    steps_ldm.decompress_batch) reproduces the fp32 batch: uint8->f32/255
+    inverts the loader's /255 (values are k/255) and the on-device
+    bit-encode equals the host encode_bitmap. Equality is up to float
+    rounding only (the two programs are different XLA graphs — e.g. the
+    /255 may lower as a reciprocal multiply — so inputs can differ by
+    <=1 ulp); with a LINEAR optimizer (sgd, momentum 0) that bounds the
+    one-step param diff at ~1e-7."""
+    from ldmseg_tpu.data.encodings import encode_bitmap
+
+    seg_vae = SegVAE(TINY_AE)
+    sd_vae = SDVAE(TINY_SD)
+    unet = CondUNet(tiny_unet_config(in_channels=8, cond_channels=4))
+    rng = np.random.default_rng(7)
+    b, hw = 8, 32
+    semseg = rng.integers(0, 8, size=(b, hw, hw)).astype(np.uint8)
+    img_u8 = rng.integers(0, 256, size=(b, hw, hw, 3)).astype(np.uint8)
+    bits = np.stack([
+        encode_bitmap(s, n=7, fill_value=0.5, ignore_label=0)[0]
+        for s in semseg
+    ])
+    inp = (rng.random((b, 4, 4)) < 0.3)
+    full = {
+        "image_semseg": jnp.asarray(bits),
+        "semseg": jnp.asarray(semseg.astype(np.int32)),
+        "image": jnp.asarray(img_u8.astype(np.float32) / 255.0),
+        "mask": jnp.ones((b, hw, hw), jnp.int32),
+        "inpainting_mask": jnp.asarray(inp.astype(np.int32)),
+    }
+    compact = {
+        "semseg": jnp.asarray(semseg),
+        "image": jnp.asarray(img_u8),
+        "mask": jnp.ones((b, hw, hw), jnp.uint8),
+        "inpainting_mask": jnp.asarray(inp.astype(np.uint8)),
+    }
+
+    seg_params = seg_vae.init(
+        {"params": jax.random.PRNGKey(0)}, full["image_semseg"],
+        rng=jax.random.PRNGKey(1),
+    )["params"]
+    sd_params = sd_vae.init(
+        {"params": jax.random.PRNGKey(2)}, full["image"],
+        rng=jax.random.PRNGKey(3),
+    )["params"]
+    unet_params = unet.init(
+        jax.random.PRNGKey(4), jnp.zeros((8, 4, 4, 12)), jnp.array([1])
+    )["params"]
+    sched = make_schedule(
+        num_train_timesteps=100, beta_schedule="scaled_linear",
+        beta_start=0.00085, beta_end=0.012, weight="max_clamp_snr",
+        max_snr=2.0, clip_sample=False, set_alpha_to_one=False,
+    )
+    frozen = {"seg_vae": seg_params, "sd_vae": sd_params}
+
+    def run(batch, compact_inputs):
+        cfg = LDMStepConfig(
+            self_condition=True, latent_size=4, use_ema=False,
+            prob_inpainting=0.5, compact_inputs=compact_inputs,
+            bits_fill_value=0.5,
+        )
+        tx = make_optimizer(
+            unet_params, OptimConfig(name="sgd", momentum=0.0, lr=1e-3,
+                                     clip_grad=1.0),
+            make_lr_schedule("constant", 1e-3, 100),
+        )
+        state = TrainState.create(unet_params, tx, ema=False)
+        step = jax.jit(make_ldm_train_step(unet, seg_vae, sd_vae, sched, tx, cfg))
+        state, metrics = step(state, frozen, batch, jax.random.PRNGKey(11))
+        return float(metrics["loss"]), jax.device_get(state.params)
+
+    loss_full, params_full = run(full, False)
+    loss_c, params_c = run(compact, True)
+    assert abs(loss_full - loss_c) < 1e-5, (loss_full, loss_c)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        params_full, params_c,
     )
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
 
