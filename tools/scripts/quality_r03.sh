@@ -19,7 +19,9 @@ export MALLOC_ARENA_MAX=2
 
 DATA=/tmp/ldmseg_data/examples
 RUNS=/root/repo/artifacts/runs
-STALL_S=${STALL_S-900}
+# must exceed worst-case import + checkpoint-load + tunnel compile to the
+# first metrics write after a relaunch (~40 min observed)
+STALL_S=${STALL_S-3600}
 mkdir -p "$(dirname "$DATA")" "$RUNS"
 [ -d "$DATA" ] || cp -r /root/reference/data/examples/coco "$DATA"
 
@@ -33,12 +35,21 @@ supervise() {
     for attempt in $(seq 1 12); do
         "$@" &
         pid=$!
+        start_ts=$(date +%s)
         (
             while kill -0 "$pid" 2>/dev/null; do
                 sleep 60
                 m="$run_dir/metrics.jsonl"
                 if [ -f "$m" ]; then
-                    age=$(( $(date +%s) - $(stat -c %Y "$m") ))
+                    # progress reference = the LATER of last metrics write
+                    # and THIS attempt's start: a fresh relaunch spends
+                    # ~30-40 min in import/ckpt-load/compile before its
+                    # first metrics write, and must not be judged by the
+                    # previous process's last write (that bug serially
+                    # killed 11 relaunches mid-compile)
+                    last=$(stat -c %Y "$m")
+                    ref=$(( last > start_ts ? last : start_ts ))
+                    age=$(( $(date +%s) - ref ))
                     if [ "$age" -gt "$STALL_S" ]; then
                         echo "=== watchdog: no metrics progress for ${age}s; killing $pid ==="
                         kill "$pid" 2>/dev/null
