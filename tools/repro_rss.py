@@ -79,6 +79,35 @@ def repro_cpu(steps: int = 400) -> None:
           f"(slope: see /tmp/ldmseg_rss/.../run_90/metrics.jsonl)")
 
 
+def repro_tget(iters: int = 100, mb: int = 25) -> None:
+    """device_get direction: download an on-device array repeatedly and
+    drop the host copy. Distinguishes pinned upload buffers (the measured
+    leak) from ordinary trimmable host allocations on the download path."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    y = jax.device_put(
+        jnp.ones((mb * 1024 * 1024 // 4,), jnp.float32), dev)
+    y.block_until_ready()
+    print(f"backend={dev.platform} payload={mb}MB rss0={_rss_gb():.3f}GB",
+          flush=True)
+    r0 = _rss_gb()
+    for i in range(iters):
+        x = np.asarray(y)
+        del x
+        if (i + 1) % 20 == 0:
+            r = _rss_gb()
+            print(f"iter {i+1:4d} rss={r:.3f}GB "
+                  f"slope={(r - r0) * 1024 / (i + 1):.2f}MB/iter", flush=True)
+    import ctypes
+
+    ctypes.CDLL("libc.so.6").malloc_trim(0)
+    print(f"after malloc_trim: rss={_rss_gb():.3f}GB", flush=True)
+
+
 def repro_tput(iters: int = 200, mb: int = 25, hold: bool = False) -> None:
     import numpy as np
 
@@ -112,6 +141,9 @@ if __name__ == "__main__":
     rest = [a for a in sys.argv[2:] if not a.startswith("--")]
     if mode == "cpu":
         repro_cpu(int(rest[0]) if rest else 400)
+    elif mode == "tget":
+        repro_tget(int(rest[0]) if rest else 100,
+                   mb=int(rest[1]) if len(rest) > 1 else 25)
     elif mode == "tput":
         repro_tput(int(rest[0]) if rest else 200,
                    mb=int(rest[1]) if len(rest) > 1 else 25,
