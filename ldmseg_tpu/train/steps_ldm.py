@@ -24,6 +24,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -105,10 +106,36 @@ def build_loss_mask(
     return None
 
 
+def compact_transfer_enabled(p) -> bool:
+    """Whether the compact wire format is exact for this run config: bits
+    encoding (the only one re-derivable from ids) and no host-side
+    normalization (uint8 rgb must be the loader's /255 inverse)."""
+    tk = p["train_kwargs"]
+    return (
+        tk.get("compact_transfer", True)
+        and tk.get("encoding_mode", "bits") == "bits"
+        and not p["transformation_kwargs"].get("normalize", False)
+    )
+
+
+def pack_compact_host_batch(host):
+    """Host-side dual of ``decompress_batch``: uint8 rgb (exact — loader
+    fp32 values are k/255 by construction), uint8 id/mask maps, and no
+    image_semseg on the wire at all. Mutates and returns ``host``."""
+    host.pop("image_semseg", None)
+    if "image" in host:
+        host["image"] = np.round(host["image"] * 255.0).astype(np.uint8)
+    for k in ("semseg", "mask", "inpainting_mask"):
+        if k in host:
+            host[k] = host[k].astype(np.uint8)
+    return host
+
+
 def decompress_batch(batch, cfg):
-    # cfg: LDMStepConfig or AEStepConfig (needs .num_bits, .bits_fill_value,
-    # .ignore_label only)
     """Reconstruct the full training batch from its compact wire format.
+
+    ``cfg`` is an LDMStepConfig or AEStepConfig (only ``num_bits``,
+    ``bits_fill_value`` and ``ignore_label`` are read).
 
     The trainer's compact transfer (trainer_ldm._device_batch with
     ``compact_transfer``) ships `image` as uint8 and omits `image_semseg`;

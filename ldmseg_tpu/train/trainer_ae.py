@@ -41,6 +41,9 @@ from ldmseg_tpu.train.checkpoint import (
     save_checkpoint,
 )
 from ldmseg_tpu.train.steps_ae import AEStepConfig, make_ae_train_step
+from ldmseg_tpu.train.steps_ldm import (
+    compact_transfer_enabled, pack_compact_host_batch,
+)
 from ldmseg_tpu.utils.meters import AverageMeter, ProgressMeter
 from ldmseg_tpu.utils.metrics_logger import (
     MetricsLogger, ProfilerHook, host_rss_gb, trim_host_heap,
@@ -216,11 +219,7 @@ class TrainerAE:
         self.state = TrainState.create(params, self.tx)
 
         # jitted steps
-        self._compact_transfer = (
-            tk.get("compact_transfer", True)
-            and tk.get("encoding_mode", "bits") == "bits"
-            and not p["transformation_kwargs"].get("normalize", False)
-        )
+        self._compact_transfer = compact_transfer_enabled(p)
         self.step_cfg = AEStepConfig(
             loss_cfg=SegLossConfig(
                 ignore_label=self.ignore_label,
@@ -268,13 +267,9 @@ class TrainerAE:
             keys.append("image")
         host = {k: np.asarray(batch[k]) for k in keys}
         if self._compact_transfer:
-            # compact wire format (steps_ldm.decompress_batch): uint8 ids,
-            # uint8 rgb, no image_semseg — re-derived on device, exactly
-            host.pop("image_semseg", None)
-            host["semseg"] = host["semseg"].astype(np.uint8)
-            if "image" in host:
-                host["image"] = np.round(
-                    host["image"] * 255.0).astype(np.uint8)
+            # uint8 wire format; the step re-derives the full batch on
+            # device (steps_ldm.decompress_batch)
+            host = pack_compact_host_batch(host)
         return {
             k: jax.device_put(jnp.asarray(v), self._batch_sharding)
             for k, v in host.items()

@@ -58,7 +58,10 @@ from ldmseg_tpu.train.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
 )
-from ldmseg_tpu.train.steps_ldm import LDMStepConfig, make_encode_fns, make_ldm_train_step
+from ldmseg_tpu.train.steps_ldm import (
+    LDMStepConfig, compact_transfer_enabled, make_encode_fns,
+    make_ldm_train_step, pack_compact_host_batch,
+)
 from ldmseg_tpu.train.trainer_ae import build_seg_vae_config
 from ldmseg_tpu.utils.meters import AverageMeter, ProgressMeter
 from ldmseg_tpu.utils.metrics_logger import (
@@ -337,11 +340,7 @@ class TrainerDiffusion:
         # uint8 rgb + uint8 seg ids, re-derive fp32 image / bit-encoded
         # image_semseg on device. Exact only for bits encoding without
         # host-side normalization; default ON there (pure wire-format win).
-        self._compact_transfer = (
-            tk.get("compact_transfer", True)
-            and tk.get("encoding_mode", "bits") == "bits"
-            and not p["transformation_kwargs"].get("normalize", False)
-        )
+        self._compact_transfer = compact_transfer_enabled(p)
         self.step_cfg = LDMStepConfig(
             scaling_factor_image=self.sd_vae_cfg.scaling_factor,
             scaling_factor_seg=self.vae_cfg.scaling_factor,
@@ -535,16 +534,9 @@ class TrainerDiffusion:
         keys = ["image_semseg", "semseg", "image", "mask", "inpainting_mask"]
         host = {k: np.asarray(batch[k]) for k in keys if k in batch}
         if self._compact_transfer:
-            # compact wire format (steps_ldm.decompress_batch re-derives the
-            # full batch on device, numerically exactly): uint8 rgb (the
-            # loader's fp32 values are k/255 by construction), uint8 ids and
-            # masks, and no image_semseg at all — ~6x fewer bytes per step
-            # through the interconnect
-            host.pop("image_semseg", None)
-            host["image"] = np.round(host["image"] * 255.0).astype(np.uint8)
-            for k in ("semseg", "mask", "inpainting_mask"):
-                if k in host:
-                    host[k] = host[k].astype(np.uint8)
+            # ~6x fewer bytes per step through the interconnect; the step
+            # re-derives the full batch on device (decompress_batch)
+            host = pack_compact_host_batch(host)
         db = {
             k: jax.device_put(jnp.asarray(v), self._batch_sharding)
             for k, v in host.items()
