@@ -242,11 +242,30 @@ def main():
             out.block_until_ready()
 
     iters = int(os.environ.get("BENCH_ITERS", "3"))
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = fn(params, rgb, jax.random.PRNGKey(2 + i))
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+
+    def timed_loop(block_each=False):
+        outs = []
+        t0 = time.perf_counter()
+        for i in range(iters):
+            outs.append(fn(params, rgb, jax.random.PRNGKey(2 + i)))
+            if block_each:
+                outs[-1].block_until_ready()
+        # block on EVERY iteration's output (not just the last): on the
+        # tunneled backend, blocking only the final array once produced a
+        # physically impossible 6ms/3-iter reading — the runtime resolved
+        # the last handle without the earlier executions having completed
+        for o in outs:
+            o.block_until_ready()
+        return time.perf_counter() - t0
+
+    dt = timed_loop(block_each=os.environ.get("BENCH_BLOCK_EACH", "0") == "1")
+    # plausibility guard: a 50-step scan of an 860M UNet cannot finish in
+    # microseconds/image; if the async path reads absurdly fast, re-measure
+    # with a device barrier after every call and trust that number
+    if dt / iters < 0.05:
+        print(f"# implausible async timing ({dt:.4f}s/{iters} iters); "
+              "re-measuring with per-iteration blocking", file=sys.stderr)
+        dt = timed_loop(block_each=True)
 
     n_chips = max(len(jax.devices()), 1)
     images_per_sec_per_chip = batch * iters / dt / n_chips

@@ -58,3 +58,41 @@ def test_eval_run_replays_snapshot(tmp_path, examples_root):
     ])
     assert out is None  # ran to completion; PQ of a random net may be 0
     assert os.path.isdir(os.path.join(run_dir, "best_model"))
+
+
+def test_eval_run_multi_seed_and_thresholds(tmp_path, examples_root, capsys):
+    """--seeds runs one eval per noise seed and prints a mean/std summary;
+    --mask-th/--overlap-th override the snapshot's postprocess thresholds
+    (the reference's release-eval config, eval.sh:8-19)."""
+    import json
+
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+
+    p = tiny_config(tmp_path, size=64)
+    p["data_dir"] = examples_root
+    p["model_kwargs"].update(
+        block_out_channels=[32, 32, 64], layers_per_block=1,
+        num_attention_heads=4, cross_attention_dim=32, norm_num_groups=8,
+    )
+    p["sd_vae_kwargs"] = {"block_out_channels": [8, 8], "layers_per_block": 1,
+                          "norm_num_groups": 4, "latent_channels": 4}
+    run_dir = str(tmp_path / "run")
+    mesh = make_mesh(MeshSpec(data=1, fsdp=1), devices=jax.devices()[:1])
+    trainer = TrainerDiffusion(p, mesh=mesh, results_folder=run_dir)
+    trainer.save(epoch=0, name="best_model")
+
+    _load_tool().main([
+        run_dir, "--cpu", "--ckpt", "best_model", "--steps", "2",
+        "--max-iter", "1", "--batch-size", "2", "--seeds", "0,1",
+        "--mask-th", "0.9", "--overlap-th", "0.9",
+    ])
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    per_seed = [ln for ln in lines if "results" in ln]
+    summary = [ln for ln in lines if "pq_mean" in ln]
+    assert [ln["seed"] for ln in per_seed] == [0, 1]
+    assert len(summary) == 1 and summary[0]["seeds"] == [0, 1]
+    assert len(summary[0]["pq_per_seed"]) == 2
+    # threshold overrides are recorded in every row (auditable cells)
+    assert all(ln["mask_th"] == 0.9 and ln["overlap_th"] == 0.9
+               for ln in per_seed + summary)

@@ -75,9 +75,15 @@ def main():
 
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     t0 = time.perf_counter()
+    losses = []
     for _ in range(iters):
         state, metrics = step(state, frozen, data, jax.random.PRNGKey(2))
-    jax.block_until_ready(metrics["loss"])
+        losses.append(metrics["loss"])
+    # block on every step's loss, not just the last — see bench.py: the
+    # tunneled backend once resolved a final handle before earlier
+    # executions finished, yielding an impossible reading
+    for loss in losses:
+        jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / iters
 
     print(json.dumps({

@@ -26,8 +26,20 @@ def main(argv=None):
                     help="checkpoint dir name inside run_dir")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--seeds", default=None,
+                    help="comma-separated noise seeds; runs one eval per "
+                         "seed in a single process (the sampler is already "
+                         "compiled after the first) and prints a summary "
+                         "line with PQ mean/std — quantifies noise-seed "
+                         "variance on small val sets")
     ap.add_argument("--max-iter", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
+    # postprocess-threshold overrides for the reference's "release eval"
+    # configuration (mask_th 0.9, overlap_th 0.9 — /root/reference/
+    # tools/scripts/eval.sh:8-19; "boosted" variants README.md:148)
+    ap.add_argument("--mask-th", type=float, default=None)
+    ap.add_argument("--overlap-th", type=float, default=None)
+    ap.add_argument("--count-th", type=int, default=None)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--sampler", choices=["ddim", "dpm++"], default=None,
                     help="override sampling_kwargs.sampler for the A/B "
@@ -55,6 +67,10 @@ def main(argv=None):
         p["eval_kwargs"]["batch_size"] = args.batch_size
     if args.sampler is not None:
         p["sampling_kwargs"]["sampler"] = args.sampler
+    for k, v in (("mask_th", args.mask_th), ("overlap_th", args.overlap_th),
+                 ("count_th", args.count_th)):
+        if v is not None:
+            p["eval_kwargs"][k] = v
     p["eval_kwargs"]["num_workers"] = 0
 
     mesh = make_mesh(MeshSpec(data=1, fsdp=1), devices=jax.devices()[:1])
@@ -77,14 +93,34 @@ def main(argv=None):
         seed=p["sampling_kwargs"].get("seed", 0),
     )
     trainer.load(os.path.join(args.run_dir, args.ckpt), load_vae=True)
-    results = trainer.compute_metrics(
-        metrics=["pq"], threshold_output=True, save_images=True,
-        seed=args.seed, max_iter=args.max_iter,
-        num_inference_steps=args.steps,
-    )
-    print(json.dumps({"results": results.get("pq"), "ckpt": args.ckpt,
-                      "steps": args.steps,
-                      "int8": os.environ.get("LDMSEG_INT8", "0")}))
+    seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
+             else [args.seed])
+    tags = {"ckpt": args.ckpt, "steps": args.steps,
+            "sampler": p["sampling_kwargs"].get("sampler", "ddim"),
+            "mask_th": p["eval_kwargs"]["mask_th"],
+            "overlap_th": p["eval_kwargs"]["overlap_th"],
+            "int8": os.environ.get("LDMSEG_INT8", "0"),
+            "int8_act": os.environ.get("LDMSEG_INT8_ACT", "0")}
+    pqs = []
+    for seed in seeds:
+        results = trainer.compute_metrics(
+            metrics=["pq"], threshold_output=True, save_images=True,
+            seed=seed, max_iter=args.max_iter,
+            num_inference_steps=args.steps,
+        )
+        pqs.append(results["pq"]["panoptic_seg"]["PQ"])
+        # "results" stays the leading key: tools/scripts/pq_gates_r03.sh
+        # greps '^{"results"' for the summary line
+        print(json.dumps(dict({"results": results.get("pq"), "seed": seed},
+                              **tags)))
+    if len(seeds) > 1:
+        mean = sum(pqs) / len(pqs)
+        std = (sum((x - mean) ** 2 for x in pqs) / (len(pqs) - 1)) ** 0.5
+        print(json.dumps(dict({"pq_mean": round(mean, 3),
+                               "pq_std": round(std, 3),
+                               "seeds": seeds,
+                               "pq_per_seed": [round(x, 3) for x in pqs]},
+                              **tags)))
 
 
 if __name__ == "__main__":
