@@ -407,13 +407,58 @@ class COCOPanoptic:
         return sample
 
 
+#: synthetic-category area-bucket thresholds (fraction of image area).
+#: Shared by the GT-json writer and the prediction side of class-aware
+#: eval so both assign categories by the same deterministic rule — a
+#: predicted segment lands in the right bucket iff its mask area is
+#: approximately right, making class-aware PQ a meaningful (synthetic)
+#: signal on the single-category bundled examples.
+_AREA_BUCKET_THRESHOLDS = {2: (0.03,), 3: (0.01, 0.06)}
+
+
+def area_bucket_category(area: int, image_area: int, num_buckets: int) -> int:
+    """Deterministic synthetic dataset category id (10, 20, 30, ...) from a
+    segment's relative area. Used to exercise class-aware PQ end-to-end
+    (reference panoptic_evaluation.py:60-73) on the bundled examples,
+    which have only one real category."""
+    frac = area / max(image_area, 1)
+    bucket = 0
+    for th in _AREA_BUCKET_THRESHOLDS[num_buckets]:
+        if frac >= th:
+            bucket += 1
+    return 10 * (bucket + 1)
+
+
+def synthetic_category_table(num_buckets: int) -> List[dict]:
+    """Categories list for the synthetic area-bucket classes. Dataset ids
+    are deliberately non-contiguous (10/20/30) so the evaluator's
+    contiguous<->dataset id conversion (panoptic_evaluation.py:60-73) is
+    actually exercised."""
+    return [
+        {"id": 10 * (k + 1), "name": f"area_bucket_{k}",
+         "supercategory": "object", "isthing": 1}
+        for k in range(num_buckets)
+    ]
+
+
 class COCOExamples(COCOPanoptic):
     """The 16 bundled example images (reference data/examples/coco/) —
     no annotation json, so segments_info is derived from the PNG ids and
-    a synthetic class-agnostic GT json is written for PQ eval."""
+    a synthetic class-agnostic GT json is written for PQ eval.
+
+    ``holdout=N`` reserves the LAST N images (sorted by name) as a
+    held-out val split: split='train' serves the first ``16-N``,
+    split='val' the last N. The reference always evaluates on held-out
+    val2017 (reference coco.py:106, README.md:136); with only the 16
+    bundled images available, this is the honest equivalent — without it,
+    train set == val set and every PQ number is training-set PQ.
+
+    ``synthetic_categories=K`` (K in {2, 3}) assigns every GT segment a
+    fake category by relative-area bucket (see area_bucket_category) so
+    the class-aware evaluator has a multi-category task to run on."""
 
     def __init__(self, examples_root: str, transform=None, split: str = "val",
-                 **kw):
+                 holdout: int = 0, synthetic_categories: int = 0, **kw):
         # bypass COCOPanoptic.__init__: build minimal state directly
         self.root = examples_root
         self.split = split
@@ -443,13 +488,33 @@ class COCOExamples(COCOPanoptic):
         img_dir = os.path.join(examples_root, "rgb_images")
         seg_dir = os.path.join(examples_root, "panoptic_images")
         names = sorted(os.path.splitext(f)[0] for f in os.listdir(img_dir))
+        self.holdout = int(holdout)
+        if self.holdout:
+            assert 0 < self.holdout < len(names), (
+                f"holdout={holdout} must leave a non-empty train split "
+                f"of the {len(names)} examples"
+            )
+            names = (names[:-self.holdout] if self.training
+                     else names[-self.holdout:])
         self.images = [os.path.join(img_dir, n + ".jpg") for n in names]
         self.semsegs = [os.path.join(seg_dir, n + ".png") for n in names]
         self.captions_dict = defaultdict(lambda: [""])
-        self.categories = [
-            {"id": 1, "name": "object", "supercategory": "object", "isthing": 1}
-        ]
-        self.cat_info = {1: {"name": "object", "isthing": 1}}
+        self.synthetic_categories = int(synthetic_categories)
+        if self.synthetic_categories:
+            assert self.synthetic_categories in _AREA_BUCKET_THRESHOLDS, (
+                f"synthetic_categories must be one of "
+                f"{sorted(_AREA_BUCKET_THRESHOLDS)}"
+            )
+            self.categories = synthetic_category_table(self.synthetic_categories)
+        else:
+            self.categories = [
+                {"id": 1, "name": "object", "supercategory": "object",
+                 "isthing": 1}
+            ]
+        self.cat_info = {
+            c["id"]: {"name": c["name"], "isthing": c["isthing"]}
+            for c in self.categories
+        }
         self.panoptic_json = self._write_gt_json(seg_dir, names)
         self.annotations_dict = self._build_annotations(names)
         self.meta_data = self.get_metadata()
@@ -465,7 +530,15 @@ class COCOExamples(COCOPanoptic):
         return anns
 
     def _write_gt_json(self, seg_dir: str, names) -> str:
-        out_path = os.path.join(seg_dir, "panoptic_examples.json")
+        # the filename encodes the variant so holdout/synthetic-category
+        # datasets never read a stale full-split (or differently-labeled)
+        # cache written by another configuration
+        suffix = ""
+        if self.holdout:
+            suffix += f"_{self.split}{len(names)}"
+        if self.synthetic_categories:
+            suffix += f"_cat{self.synthetic_categories}"
+        out_path = os.path.join(seg_dir, f"panoptic_examples{suffix}.json")
         if os.path.exists(out_path):
             return out_path
         annotations = []
@@ -476,8 +549,15 @@ class COCOExamples(COCOPanoptic):
                 + 256 * arr[:, :, 1].astype(np.int64)
                 + 256 ** 2 * arr[:, :, 2].astype(np.int64)
             )
+            image_area = int(ids.size)
             segments = [
-                {"id": int(i), "category_id": 1, "iscrowd": 0,
+                {"id": int(i),
+                 "category_id": (
+                     area_bucket_category(int((ids == i).sum()), image_area,
+                                          self.synthetic_categories)
+                     if self.synthetic_categories else 1
+                 ),
+                 "iscrowd": 0,
                  "area": int((ids == i).sum())}
                 for i in np.unique(ids) if i != 0
             ]
@@ -512,6 +592,9 @@ def get_dataset(
         return COCOExamples(examples_root=data_dir,
                             split="train" if split == "train" else "val",
                             **kwargs)
+    # examples-only knobs (real COCO has a real val split and real classes)
+    kwargs.pop("holdout", None)
+    kwargs.pop("synthetic_categories", None)
     if db_name != "coco":
         raise NotImplementedError(f"dataset '{db_name}'")
     if isinstance(split, (list, tuple)):

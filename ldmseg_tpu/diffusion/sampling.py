@@ -15,6 +15,7 @@ inpainting by pasting known latents through the inpainting mask each step
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -22,6 +23,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ddim import DDIMSchedule, ddim_step, inference_timesteps
+
+
+def _carry_dtype():
+    """Scan-carry dtype for latents/self-cond (LDMSEG_SAMPLE_CARRY).
+
+    Default fp32: the DDIM update is numerically sensitive and the carry
+    is tiny (B x 64 x 64 x 4). ``bf16`` halves the carry's HBM round-trip
+    per step and skips the model-input downcast — measured A/B in
+    BENCHMARKS.md round 4 (VERDICT r3 next-round #3b). The DDIM update
+    itself always runs fp32; only the carried value is cast."""
+    return (jnp.bfloat16
+            if os.environ.get("LDMSEG_SAMPLE_CARRY", "fp32") == "bf16"
+            else jnp.float32)
 
 
 def ddim_sample(
@@ -85,8 +99,11 @@ def ddim_sample(
             out = uncond + guidance_scale * (cond - uncond)
         return out.astype(jnp.float32)
 
+    cdt = _carry_dtype()
+
     def body(carry, t):
         latents, condition, _ = carry
+        latents = latents.astype(jnp.float32)
         noise_pred = model_eval(latents, condition, t)
         prev, x0 = ddim_step(sched, noise_pred, t, latents, num_inference_steps)
         if inpaint_mask is not None:
@@ -102,15 +119,15 @@ def ddim_sample(
                 1.0 - sched.alphas_cumprod[t]
             )
             prev = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
-        new_cond = x0 if self_condition else condition
+        new_cond = (x0 if self_condition else condition).astype(cdt)
         # stack per-step latents only when asked for — the default path
         # carries the final x0 instead of writing 50 x [B,h,w,C] to HBM
         ys = (prev, x0) if return_all_latents else None
-        return (prev, new_cond, x0), ys
+        return (prev.astype(cdt), new_cond, x0), ys
 
-    condition0 = jnp.zeros(latent_shape, dtype=jnp.float32)
+    condition0 = jnp.zeros(latent_shape, dtype=cdt)
     (final_prev, _, final), ys = jax.lax.scan(
-        body, (latents, condition0, latents), timesteps
+        body, (latents.astype(cdt), condition0, latents), timesteps
     )
     # the reference returns pred_original_sample at the final step
     if return_all_latents:

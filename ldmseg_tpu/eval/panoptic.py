@@ -351,9 +351,18 @@ class PanopticEvaluator:
 
         stat = PQStat()
         n_preds = 0
+        seen_ids = set()
         for p in preds:
             if p["image_id"] not in self.gt_annotations:
                 continue
+            # the loader repeat-pads partial batches (and pads the index
+            # space across processes) to keep device shapes static; keep
+            # only the FIRST prediction per image so padded duplicates
+            # don't get double-counted (matters once val-set size stops
+            # dividing batch_size, e.g. the 4-image holdout split)
+            if p["image_id"] in seen_ids:
+                continue
+            seen_ids.add(p["image_id"])
             gt_pan, gt_segs = self._load_gt(p["image_id"])
             stat += pq_compute_single(
                 gt_pan, gt_segs, p["pan"], p["segments_info"], self.categories
@@ -363,6 +372,7 @@ class PanopticEvaluator:
         results = {}
         all_res, per_class = stat.pq_average(self.categories, isthing=None)
         things_res, _ = stat.pq_average(self.categories, isthing=True)
+        s1 = stat[1]
         res = {
             "PQ": 100 * all_res["pq"],
             "SQ": 100 * all_res["sq"],
@@ -370,6 +380,11 @@ class PanopticEvaluator:
             "PQ_th": 100 * things_res["pq"],
             "SQ_th": 100 * things_res["sq"],
             "RQ_th": 100 * things_res["rq"],
+            # category-1 detection stats (the proxy task is effectively
+            # single-category); used by the calibration sweep to attribute
+            # threshold-induced PQ shifts to precision vs recall
+            "precision": 100 * s1.tp / (s1.tp + s1.fp + 1e-8),
+            "recall": 100 * s1.tp / (s1.tp + s1.fn + 1e-8),
         }
         stuff_res, _ = stat.pq_average(self.categories, isthing=False)
         if stuff_res["n"] > 0 and not self.class_agnostic:
@@ -379,10 +394,8 @@ class PanopticEvaluator:
         results["panoptic_seg"] = res
 
         if verbose:
-            s1 = stat[1]
-            precision = s1.tp / (s1.tp + s1.fp + 1e-8)
-            recall = s1.tp / (s1.tp + s1.fn + 1e-8)
-            print(f"precision: {precision * 100:.2f}  recall: {recall * 100:.2f}")
+            print(f"precision: {res['precision']:.2f}  "
+                  f"recall: {res['recall']:.2f}")
             print(f"found {n_preds} predictions")
             print(
                 f"PQ {res['PQ']:.3f}  SQ {res['SQ']:.3f}  RQ {res['RQ']:.3f}"

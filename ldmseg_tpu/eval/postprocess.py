@@ -197,3 +197,31 @@ def postprocess_image(
             {"id": int(label) + 1, "category_id": 1, "isthing": True}
         )
     return (pred + 1).astype(np.uint32), segments_info
+
+
+def assign_area_bucket_categories(
+    pan: np.ndarray,
+    segments_info: List[dict],
+    num_buckets: int,
+    thing_dataset_id_to_contiguous_id: dict,
+) -> List[dict]:
+    """Prediction-side synthetic category assignment for class-aware PQ on
+    the bundled examples (data/coco.py area_bucket_category is the shared
+    rule). Each predicted segment's category is derived from its own mask
+    area — no GT access — so it matches the GT bucket iff the predicted
+    mask area is approximately right. Segments carry CONTIGUOUS ids here;
+    PanopticEvaluator._convert_category_id maps them back to dataset ids
+    (reference panoptic_evaluation.py:60-73)."""
+    from ldmseg_tpu.data.coco import area_bucket_category
+
+    image_area = int(pan.size)
+    out = []
+    for s in segments_info:
+        dataset_id = area_bucket_category(
+            int((pan == s["id"]).sum()), image_area, num_buckets
+        )
+        s = dict(s)
+        s["category_id"] = thing_dataset_id_to_contiguous_id[dataset_id]
+        s["isthing"] = True
+        out.append(s)
+    return out

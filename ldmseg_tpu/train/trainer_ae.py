@@ -150,6 +150,8 @@ class TrainerAE:
             ignore_label=self.ignore_label,
             inpainting_strength=p.get("inpainting_strength", 0.0),
             decode_cache=p.get("decode_cache", 0),
+            holdout=p.get("holdout", 0),
+            synthetic_categories=p.get("synthetic_categories", 0),
         )
         self.ds = (
             dataset_train
@@ -398,6 +400,7 @@ class TrainerAE:
             self.num_classes, self.ds.get_class_names(), has_bg=False,
             ignore_index=self.ignore_label,
         )
+        seen_ids = set()
         for batch_idx, batch in enumerate(self.dl_val):
             images = jnp.asarray(batch["image_semseg"])
             rgbs = jnp.asarray(batch["image"])
@@ -408,9 +411,16 @@ class TrainerAE:
             if threshold_output:
                 probs = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
                 preds = jnp.where(probs < self.mask_th, self.ignore_label, preds)
-            meter.update(np.asarray(preds), batch["semseg"])
+            preds = np.asarray(preds)
             if save_images and batch_idx == 0 and jax.process_index() == 0:
-                self._dump_val_grid(batch, np.asarray(preds))
+                self._dump_val_grid(batch, preds)
+            # loader repeat-pads partial batches: count each image once
+            keep = []
+            for i, m in enumerate(batch["meta"]):
+                if m["image_id"] not in seen_ids:
+                    seen_ids.add(m["image_id"])
+                    keep.append(i)
+            meter.update(preds[keep], np.asarray(batch["semseg"])[keep])
             if max_iter is not None and batch_idx >= max_iter:
                 break
         meter.synchronize_between_processes()
@@ -455,8 +465,11 @@ class TrainerAE:
     def save_train_images(self, device_batch, batch):
         if jax.process_index() != 0:
             return
+        # the compact wire format (loader.py) re-derives image_semseg on
+        # device inside the train step, so it is absent from device_batch;
+        # viz is rare — take the host copy from the raw batch instead
         logits = self._eval_forward(
-            self.state.params, device_batch["image_semseg"],
+            self.state.params, jnp.asarray(batch["image_semseg"]),
             jnp.asarray(batch["image"]),
         )
         h, w = batch["semseg"].shape[-2:]

@@ -35,7 +35,10 @@ from ldmseg_tpu.diffusion import add_noise, inference_timesteps, make_schedule
 from ldmseg_tpu.diffusion.dpm import dpm_sample
 from ldmseg_tpu.diffusion.sampling import ddim_sample
 from ldmseg_tpu.eval import PanopticEvaluator
-from ldmseg_tpu.eval.postprocess import postprocess_image
+from ldmseg_tpu.eval.postprocess import (
+    assign_area_bucket_categories,
+    postprocess_image,
+)
 from ldmseg_tpu.models import SegVAE
 from ldmseg_tpu.models.convert import (
     convert_sd_unet,
@@ -276,6 +279,8 @@ class TrainerDiffusion:
             inpainting_strength=p.get("inpainting_strength", 0.0),
             decode_cache=p.get("decode_cache", 0),
             tokenizer=self.tokenizer,
+            holdout=p.get("holdout", 0),
+            synthetic_categories=p.get("synthetic_categories", 0),
         )
         self.ds = (
             dataset_train if dataset_train is not None else
@@ -588,9 +593,12 @@ class TrainerDiffusion:
                 self.log_images_train(batch, db, metrics)
 
     def train_loop(self):
+        # seed=None defers to eval_kwargs.eval_seeds (default [0] = the
+        # reference's single-seed protocol; the quality recipe sets >=3
+        # seeds so best-model selection rides the mean, not one draw)
         evaluation = functools.partial(
             self.compute_metrics, metrics=["pq"], threshold_output=True,
-            save_images=True, seed=0,
+            save_images=True, seed=None,
             num_inference_steps=self.num_inference_steps,
         )
         print("Evaluating ...")
@@ -631,7 +639,8 @@ class TrainerDiffusion:
     # -- evaluation -------------------------------------------------------------
     def compute_metrics(self, metrics=("pq",), threshold_output=True,
                         save_images=False, seed=None, max_iter=None,
-                        num_inference_steps=50, set_save_model=False, **_):
+                        num_inference_steps=50, set_save_model=False,
+                        class_agnostic=True, **_):
         results = {}
         for m in metrics:
             if m.lower() == "pq":
@@ -639,6 +648,7 @@ class TrainerDiffusion:
                     num_inference_steps=num_inference_steps,
                     threshold_output=threshold_output, save_images=save_images,
                     seed=seed, max_iter=max_iter, save_model=set_save_model,
+                    class_agnostic=class_agnostic,
                 )
             else:
                 raise NotImplementedError(m)
@@ -646,11 +656,87 @@ class TrainerDiffusion:
 
     def compute_pq(self, num_inference_steps=50, guidance_scale=7.5, seed=None,
                    threshold_output=True, save_images=False, max_iter=None,
-                   threshold_mode="max", save_model=False):
+                   threshold_mode="max", save_model=False, class_agnostic=True):
         """Generative eval: encode RGB -> 50-step sample -> decode -> PQ
-        (trainers_ldm_cond.py:1180-1346)."""
-        evaluator = PanopticEvaluator(self.ds_val.meta_data, class_agnostic=True)
-        rng = jax.random.PRNGKey(seed if seed is not None else 0)
+        (trainers_ldm_cond.py:1180-1346).
+
+        When ``eval_kwargs.eval_seeds`` lists >1 noise seeds (or ``seed``
+        is a list/tuple), the full val sweep runs once per seed and the
+        reported PQ is the mean across seeds (per-seed values under
+        "PQ_seeds"). On a tiny val set single-seed PQ has a measured std
+        of several points (BENCHMARKS.md round-3 multi-seed row), so
+        best-model selection on one seed picks lucky draws — the mean is
+        the honest criterion (VERDICT r3 weak #2).
+
+        ``class_agnostic=False`` runs the class-aware evaluator (reference
+        panoptic_evaluation.py:60-73): predicted segments are assigned
+        contiguous category ids, converted back to dataset ids by the
+        evaluator. On the bundled examples the categories are the
+        synthetic area buckets (data/coco.py area_bucket_category), so the
+        prediction side derives each segment's category from its own mask
+        area — matching GT iff the mask is approximately right."""
+        if isinstance(seed, (list, tuple)):
+            seeds = list(seed)
+        elif seed is not None:
+            seeds = [seed]
+        else:
+            seeds = list(self.p["eval_kwargs"].get("eval_seeds") or [0])
+
+        per_seed = []
+        for s_idx, s in enumerate(seeds):
+            res = self._compute_pq_one_seed(
+                s, num_inference_steps=num_inference_steps,
+                threshold_output=threshold_output,
+                save_images=save_images and s_idx == 0, max_iter=max_iter,
+                threshold_mode=threshold_mode, class_agnostic=class_agnostic,
+            )
+            if res is not None:
+                per_seed.append(res["panoptic_seg"])
+
+        if not per_seed:
+            return None
+        keys = per_seed[0].keys()
+        results = {"panoptic_seg": {
+            k: float(np.mean([r[k] for r in per_seed])) for k in keys
+        }}
+        if len(per_seed) > 1:
+            results["panoptic_seg"]["PQ_seed_std"] = float(
+                np.std([r["PQ"] for r in per_seed], ddof=1)
+            )
+            results["PQ_seeds"] = {
+                str(s): r["PQ"] for s, r in zip(seeds, per_seed)
+            }
+        trim_host_heap()  # eval device_gets GBs of logits; return freed pages
+        if jax.process_index() == 0:
+            self.metrics_logger.log(
+                dict({f"val/{k}": v for k, v in results["panoptic_seg"].items()},
+                     rss_gb=host_rss_gb()),
+                step=self.step,
+            )
+        if (
+            save_model and jax.process_index() == 0
+            and results["panoptic_seg"]["PQ"] > self.best_pq
+        ):
+            self.best_pq = results["panoptic_seg"]["PQ"]
+            print(f"Saving best model with PQ {self.best_pq:.3f} "
+                  f"(mean over seeds {seeds})")
+            self.save(self.epoch, name="best_model", extra={"PQ": self.best_pq})
+        return results
+
+    def _compute_pq_one_seed(self, seed, num_inference_steps=50,
+                             threshold_output=True, save_images=False,
+                             max_iter=None, threshold_mode="max",
+                             class_agnostic=True):
+        evaluator = PanopticEvaluator(self.ds_val.meta_data,
+                                      class_agnostic=class_agnostic)
+        num_buckets = getattr(self.ds_val, "synthetic_categories", 0)
+        if not class_agnostic and not num_buckets:
+            raise NotImplementedError(
+                "class-aware PQ on the examples dataset requires "
+                "synthetic_categories>=2 (the model predicts no classes)"
+            )
+        thing_map = self.ds_val.meta_data["thing_dataset_id_to_contiguous_id"]
+        rng = jax.random.PRNGKey(seed)
 
         for batch_idx, batch in enumerate(self.dl_val):
             # fresh noise per val batch (reference draws sequentially from
@@ -684,6 +770,10 @@ class TrainerDiffusion:
                     threshold_output=threshold_output,
                     threshold_mode=threshold_mode,
                 )
+                if not class_agnostic:
+                    segs = assign_area_bucket_categories(
+                        pan, segs, num_buckets, thing_map
+                    )
                 outputs.append({"panoptic_seg": (pan, segs)})
             evaluator.process(file_names, image_ids, outputs)
             if save_images and batch_idx == 0 and jax.process_index() == 0:
@@ -691,22 +781,7 @@ class TrainerDiffusion:
             if max_iter is not None and batch_idx + 1 >= max_iter:
                 break
 
-        results = evaluator.evaluate()
-        trim_host_heap()  # eval device_gets GBs of logits; return freed pages
-        if results is not None and jax.process_index() == 0:
-            self.metrics_logger.log(
-                dict({f"val/{k}": v for k, v in results["panoptic_seg"].items()},
-                     rss_gb=host_rss_gb()),
-                step=self.step,
-            )
-        if (
-            results is not None and save_model and jax.process_index() == 0
-            and results["panoptic_seg"]["PQ"] > self.best_pq
-        ):
-            self.best_pq = results["panoptic_seg"]["PQ"]
-            print(f"Saving best model with PQ {self.best_pq:.3f}")
-            self.save(self.epoch, name="best_model", extra={"PQ": self.best_pq})
-        return results
+        return evaluator.evaluate()
 
     # -- visualization -----------------------------------------------------------
     def log_images_val(self, batch, latents, outputs):

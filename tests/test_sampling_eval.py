@@ -343,3 +343,24 @@ def test_ddim_return_all_latents_consistent_with_default():
     np.testing.assert_allclose(
         np.asarray(final_default), np.asarray(final_stacked), atol=1e-6
     )
+
+
+def test_ddim_sample_bf16_carry_close_to_fp32(monkeypatch):
+    """LDMSEG_SAMPLE_CARRY=bf16 (round-4 throughput knob) must stay close
+    to the fp32 carry: the DDIM update math itself runs fp32 either way,
+    only the carried latents/self-cond are cast between steps."""
+    def denoise(inputs, t, ctx):
+        return 0.1 * inputs[..., :4] + 0.05 * inputs[..., 4:8]
+
+    rgb = jnp.ones((2, 8, 8, 4))
+    ref = np.asarray(ddim_sample(denoise, SCHED, jax.random.PRNGKey(0), rgb,
+                                 num_inference_steps=10,
+                                 self_condition=True))
+    monkeypatch.setenv("LDMSEG_SAMPLE_CARRY", "bf16")
+    out = np.asarray(ddim_sample(denoise, SCHED, jax.random.PRNGKey(0), rgb,
+                                 num_inference_steps=10,
+                                 self_condition=True))
+    assert out.dtype == np.float32  # output stays fp32
+    assert np.isfinite(out).all()
+    # bf16 has ~3 decimal digits; the carry round-trips 10 times
+    np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.05)

@@ -44,6 +44,19 @@ def main(argv=None):
     ap.add_argument("--sampler", choices=["ddim", "dpm++"], default=None,
                     help="override sampling_kwargs.sampler for the A/B "
                          "(dpm++ = DPM-Solver++(2M), fewer UNet evals)")
+    # dataset-variant overrides (examples proxy only): re-evaluate a trained
+    # run on a different split protocol than it trained with, e.g. held-out
+    # vs full-16 PQ side by side, or the synthetic-category class-aware eval
+    ap.add_argument("--holdout", type=int, default=None,
+                    help="override datasets holdout (0 = full 16 images; "
+                         "N = last N sorted images as val)")
+    ap.add_argument("--synthetic-categories", type=int, default=None,
+                    help="override datasets synthetic_categories (2 or 3 "
+                         "area-bucket classes on the examples proxy)")
+    ap.add_argument("--class-aware", action="store_true",
+                    help="run the class-aware PanopticEvaluator (reference "
+                         "panoptic_evaluation.py:60-73) instead of agnostic; "
+                         "requires synthetic_categories>=2 on examples")
     args = ap.parse_args(argv)
 
     import jax
@@ -72,6 +85,10 @@ def main(argv=None):
         if v is not None:
             p["eval_kwargs"][k] = v
     p["eval_kwargs"]["num_workers"] = 0
+    if args.holdout is not None:
+        p["holdout"] = args.holdout
+    if args.synthetic_categories is not None:
+        p["synthetic_categories"] = args.synthetic_categories
 
     mesh = make_mesh(MeshSpec(data=1, fsdp=1), devices=jax.devices()[:1])
     print(f"mesh: {mesh}; ckpt: {args.ckpt}; steps: {args.steps}; "
@@ -99,6 +116,8 @@ def main(argv=None):
             "sampler": p["sampling_kwargs"].get("sampler", "ddim"),
             "mask_th": p["eval_kwargs"]["mask_th"],
             "overlap_th": p["eval_kwargs"]["overlap_th"],
+            "holdout": p.get("holdout", 0),
+            "class_aware": bool(args.class_aware),
             "int8": os.environ.get("LDMSEG_INT8", "0"),
             "int8_act": os.environ.get("LDMSEG_INT8_ACT", "0")}
     pqs = []
@@ -107,6 +126,7 @@ def main(argv=None):
             metrics=["pq"], threshold_output=True, save_images=True,
             seed=seed, max_iter=args.max_iter,
             num_inference_steps=args.steps,
+            class_agnostic=not args.class_aware,
         )
         pqs.append(results["pq"]["panoptic_seg"]["PQ"])
         # "results" stays the leading key: tools/scripts/pq_gates_r03.sh
