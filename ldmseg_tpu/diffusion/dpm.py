@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ddim import DDIMSchedule, inference_timesteps, pred_x0_and_eps
+from .sampling import _carry_dtype
 
 
 def _solver_tables(
@@ -136,8 +137,12 @@ def dpm_sample(
             out = uncond + guidance_scale * (cond - uncond)
         return out.astype(jnp.float32)
 
+    cdt = _carry_dtype()
+
     def body(carry, step):
         x, x0_prev, condition, _ = carry
+        x = x.astype(jnp.float32)
+        x0_prev = x0_prev.astype(jnp.float32)
         out = model_eval(x, condition, step["t"])
         x0, _eps = pred_x0_and_eps(sched, out, x, step["ap_s"])
         if sched.clip_sample:
@@ -154,12 +159,14 @@ def dpm_sample(
         sigma_t = jnp.sqrt(1.0 - step["ap_t"])
         alpha_t = jnp.sqrt(step["ap_t"])
         x_next = (sigma_t / sigma_s) * x - alpha_t * (step["exp_neg_h"] - 1.0) * d
-        new_cond = x0 if self_condition else condition
-        return (x_next, x0, new_cond, x0), None
+        new_cond = (x0 if self_condition else condition).astype(cdt)
+        return (x_next.astype(cdt), x0.astype(cdt), new_cond, x0), None
 
-    condition0 = jnp.zeros(latent_shape, dtype=jnp.float32)
+    # carry dtype knob (LDMSEG_SAMPLE_CARRY) shared with ddim_sample; the
+    # solver update itself always runs fp32
+    condition0 = jnp.zeros(latent_shape, dtype=cdt)
     (x_final, _, _, final_x0), _ = jax.lax.scan(
-        body, (latents, jnp.zeros(latent_shape, jnp.float32),
+        body, (latents.astype(cdt), jnp.zeros(latent_shape, cdt),
                condition0, latents),
         tables,
     )

@@ -1,0 +1,125 @@
+"""Paired multi-seed PQ gate matrix in ONE process.
+
+Loads the trained run once, then evaluates every (sampler, steps) serving
+cell at the SAME noise seeds — the statistically honest protocol (VERDICT
+r3 Missing #2): deltas between cells are judged against the seed std
+instead of riding a single draw. One process = one model load + one
+sampler compile per (sampler, steps) pair instead of per cell
+(`tools/eval_run.py` stays the single-cell tool; env-dependent cells like
+LDMSEG_INT8 still need their own process because quantization is decided
+at trace time).
+
+    python tools/gate_matrix.py <run_dir> [--ckpt best_model]
+        [--seeds 0,42,123] [--cells ddim:50,ddim:25,dpm++:25,dpm++:15]
+        [--out artifacts/bench_r04/pq_gates.jsonl]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_dir")
+    ap.add_argument("--ckpt", default="best_model")
+    ap.add_argument("--seeds", default="0,42,123")
+    ap.add_argument("--cells", default="ddim:50,ddim:25,dpm++:25,dpm++:15")
+    ap.add_argument("--out", default=None, help="append jsonl summary here")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ldmseg_tpu.core import MeshSpec, make_mesh
+    from ldmseg_tpu.core.config import enable_compile_cache
+
+    enable_compile_cache()
+
+    with open(os.path.join(args.run_dir, f"{args.ckpt}.config.json")) as f:
+        p = json.load(f)
+    p["output_dir"] = args.run_dir
+    p["save_dir"] = os.path.join(args.run_dir, "predictions")
+    p["eval_only"] = True
+    p["eval_kwargs"]["num_workers"] = 0
+
+    mesh = make_mesh(MeshSpec(data=1, fsdp=1), devices=jax.devices()[:1])
+    from ldmseg_tpu.models.descriptors import get_image_descriptor_model
+    from ldmseg_tpu.train.trainer_ldm import (
+        TrainerDiffusion,
+        build_unet_config,
+    )
+
+    image_fn, text_fn, tokenizer, unet_cfg = get_image_descriptor_model(
+        p["train_kwargs"].get("image_descriptors", "remove"),
+        p.get("pretrained_model_path"), build_unet_config(p),
+    )
+    trainer = TrainerDiffusion(
+        p, mesh=mesh, results_folder=args.run_dir, unet_cfg=unet_cfg,
+        tokenizer=tokenizer, text_encoder_fn=text_fn,
+        image_descriptor_fn=image_fn,
+        seed=p["sampling_kwargs"].get("seed", 0),
+    )
+    trainer.load(os.path.join(args.run_dir, args.ckpt), load_vae=True)
+
+    seeds = [int(s) for s in args.seeds.split(",")]
+    cells = [c.split(":") for c in args.cells.split(",")]
+    out_f = open(args.out, "a") if args.out else None
+
+    import jax as _jax
+
+    for sampler, steps in cells:
+        steps = int(steps)
+        if sampler != trainer.sampler:
+            # trainer.sampler is read at TRACE time inside _sample_impl;
+            # the existing jit wrapper would serve a stale cached program
+            # for an already-seen steps count — swap in a fresh wrapper
+            trainer.sampler = sampler
+            trainer.p["sampling_kwargs"]["sampler"] = sampler
+            trainer._sample_jit = _jax.jit(
+                trainer._sample_impl,
+                static_argnames=("num_inference_steps", "repeat_noise"),
+            )
+        pqs = []
+        for seed in seeds:
+            res = trainer.compute_metrics(
+                metrics=["pq"], threshold_output=True, save_images=False,
+                seed=seed, num_inference_steps=steps,
+            )["pq"]["panoptic_seg"]
+            pqs.append(res["PQ"])
+            print(json.dumps({"cell": f"{sampler}@{steps}", "seed": seed,
+                              "PQ": round(res["PQ"], 3),
+                              "SQ": round(res["SQ"], 3),
+                              "RQ": round(res["RQ"], 3),
+                              "precision": round(res["precision"], 2),
+                              "recall": round(res["recall"], 2)}),
+                  flush=True)
+        mean = float(np.mean(pqs))
+        std = float(np.std(pqs, ddof=1)) if len(pqs) > 1 else 0.0
+        line = json.dumps({
+            "pq_mean": round(mean, 3), "pq_std": round(std, 3),
+            "seeds": seeds, "pq_per_seed": [round(x, 3) for x in pqs],
+            "ckpt": args.ckpt, "steps": steps, "sampler": sampler,
+            "mask_th": p["eval_kwargs"]["mask_th"],
+            "overlap_th": p["eval_kwargs"]["overlap_th"],
+            "holdout": p.get("holdout", 0),
+            "int8": os.environ.get("LDMSEG_INT8", "0"),
+        })
+        print(line, flush=True)
+        if out_f:
+            out_f.write(line + "\n")
+            out_f.flush()
+    if out_f:
+        out_f.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -30,10 +30,12 @@ run() { # run <logname> <extra args...>
     grep -h '^{"pq_mean' "$log" >> "$OUT/pq_gates.jsonl" 2>/dev/null || true
 }
 
-run pq_ddim50            --steps 50
-run pq_ddim25            --steps 25
-run pq_dpmpp25           --steps 25 --sampler dpm++
-run pq_dpmpp15           --steps 15 --sampler dpm++
+# the four sampler/steps cells share ONE process/model-load/compile cache
+echo "=== sampler cells (gate_matrix, one process) ==="
+python tools/gate_matrix.py "$RUN" --ckpt "$CKPT" --seeds "$SEEDS" \
+    --cells ddim:50,ddim:25,dpm++:25,dpm++:15 --out "$OUT/pq_gates.jsonl" \
+    2>&1 | tee "$OUT/gate_matrix.log" | grep '^{' || true
+
 # subshell: `VAR=x fn` would leak the var past the function call in bash
 ( export LDMSEG_INT8=unet; run pq_int8_unet_ddim50 --steps 50 )
 run pq_ddim50_full16     --steps 50 --holdout 0
