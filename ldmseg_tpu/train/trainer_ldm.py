@@ -282,6 +282,9 @@ class TrainerDiffusion:
             holdout=p.get("holdout", 0),
             synthetic_categories=p.get("synthetic_categories", 0),
         )
+        # kept for offline tools (tools/gate_matrix.py) that rebuild ds_val
+        # with overridden holdout/synthetic_categories in the same process
+        self._val_ds_kwargs = dict(ds_kwargs)
         self.ds = (
             dataset_train if dataset_train is not None else
             get_dataset(p["train_db_name"], p["data_dir"], p["split"],

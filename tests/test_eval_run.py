@@ -116,6 +116,7 @@ def test_gate_matrix_one_process_cells(tmp_path, examples_root, capsys):
     p["sd_vae_kwargs"] = {"block_out_channels": [8, 8], "layers_per_block": 1,
                           "norm_num_groups": 4, "latent_channels": 4}
     p["eval_kwargs"]["batch_size"] = 2
+    p["holdout"] = 2  # tiny held-out val (2 images) for the base cells
     run_dir = str(tmp_path / "run")
     mesh = make_mesh(MeshSpec(data=1, fsdp=1), devices=jax.devices()[:1])
     trainer = TrainerDiffusion(p, mesh=mesh, results_folder=run_dir)
@@ -128,16 +129,26 @@ def test_gate_matrix_one_process_cells(tmp_path, examples_root, capsys):
     spec.loader.exec_module(mod)
     out_jsonl = str(tmp_path / "gates.jsonl")
     mod.main([run_dir, "--cpu", "--ckpt", "best_model", "--seeds", "0,1",
-              "--cells", "ddim:2,dpm++:2", "--out", out_jsonl])
+              "--cells", "ddim:2,dpm++:2",
+              "--variant-cells", "full16:ddim:2,classaware3:ddim:2",
+              "--out", out_jsonl])
     lines = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
              if ln.startswith("{")]
     per_seed = [ln for ln in lines if "cell" in ln]
     summaries = [ln for ln in lines if "pq_mean" in ln]
-    assert [ln["cell"] for ln in per_seed] == ["ddim@2"] * 2 + ["dpm++@2"] * 2
-    assert [ln["seed"] for ln in per_seed] == [0, 1, 0, 1]  # paired seeds
-    assert [s["sampler"] for s in summaries] == ["ddim", "dpm++"]
+    assert [ln["cell"] for ln in per_seed] == (
+        ["ddim@2"] * 2 + ["dpm++@2"] * 2
+        + ["full16/ddim@2"] * 2 + ["classaware3/ddim@2"] * 2
+    )
+    assert [ln["seed"] for ln in per_seed] == [0, 1] * 4  # paired seeds
+    assert [s["sampler"] for s in summaries] == ["ddim", "dpm++",
+                                                 "ddim", "ddim"]
+    # variant tags: full16 overrides holdout to 0; classaware flags itself
+    assert summaries[2]["holdout"] == 0
+    assert summaries[3]["class_aware"] is True
+    assert summaries[3]["synthetic_categories"] == 3
     with open(out_jsonl) as f:
-        assert len(f.readlines()) == 2
+        assert len(f.readlines()) == 4
 
 
 def test_calibrate_postprocess_sweep(tmp_path, examples_root, capsys):

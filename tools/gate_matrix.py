@@ -7,10 +7,13 @@ instead of riding a single draw. One process = one model load + one
 sampler compile per (sampler, steps) pair instead of per cell
 (`tools/eval_run.py` stays the single-cell tool; env-dependent cells like
 LDMSEG_INT8 still need their own process because quantization is decided
-at trace time).
+at trace time). Dataset-variant cells (--variant-cells) swap ds_val
+in-process too: full-16 continuity and the class-aware synthetic-category
+eval reuse the already-compiled ddim@50 program (identical batch shapes).
 
     python tools/gate_matrix.py <run_dir> [--ckpt best_model]
         [--seeds 0,42,123] [--cells ddim:50,ddim:25,dpm++:25,dpm++:15]
+        [--variant-cells full16:ddim:50,classaware3:ddim:50]
         [--out artifacts/bench_r04/pq_gates.jsonl]
 """
 
@@ -30,6 +33,14 @@ def main(argv=None):
     ap.add_argument("--ckpt", default="best_model")
     ap.add_argument("--seeds", default="0,42,123")
     ap.add_argument("--cells", default="ddim:50,ddim:25,dpm++:25,dpm++:15")
+    ap.add_argument("--variant-cells", default=None,
+                    help="dataset-variant cells evaluated in the SAME "
+                         "process after the sampler cells, e.g. "
+                         "'full16:ddim:50,classaware3:ddim:50' — full16 "
+                         "re-evaluates on all 16 images (holdout=0, "
+                         "continuity with round-3 train-set PQ); "
+                         "classawareN uses N synthetic area-bucket "
+                         "categories with the class-aware evaluator")
     ap.add_argument("--out", default=None, help="append jsonl summary here")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -76,8 +87,7 @@ def main(argv=None):
 
     import jax as _jax
 
-    for sampler, steps in cells:
-        steps = int(steps)
+    def set_sampler(sampler):
         if sampler != trainer.sampler:
             # trainer.sampler is read at TRACE time inside _sample_impl;
             # the existing jit wrapper would serve a stale cached program
@@ -88,14 +98,37 @@ def main(argv=None):
                 trainer._sample_impl,
                 static_argnames=("num_inference_steps", "repeat_noise"),
             )
+
+    def swap_val_dataset(**overrides):
+        # rebuild the eval split in-process (same model, same compiled
+        # sampler when shapes match) — a fresh eval_run process per dataset
+        # variant costs ~5 min of import + param upload + compile each
+        from ldmseg_tpu.data.coco import get_dataset
+        from ldmseg_tpu.data.loader import DataLoader
+
+        kw = dict(trainer._val_ds_kwargs, **overrides)
+        ds = get_dataset(
+            p["val_db_name"], p["data_dir"], "val",
+            transform=trainer.ds_val.transform, caption_dropout=1.0, **kw,
+        )
+        trainer.ds_val = ds
+        trainer.dl_val = DataLoader(
+            ds, trainer.batch_size_val, shuffle=False, drop_last=False,
+            seed=0, process_index=_jax.process_index(),
+            process_count=_jax.process_count(), num_threads=0,
+        )
+
+    def run_cell(cell_name, sampler, steps, class_agnostic=True, **tags):
+        set_sampler(sampler)
         pqs = []
         for seed in seeds:
             res = trainer.compute_metrics(
                 metrics=["pq"], threshold_output=True, save_images=False,
                 seed=seed, num_inference_steps=steps,
+                class_agnostic=class_agnostic,
             )["pq"]["panoptic_seg"]
             pqs.append(res["PQ"])
-            print(json.dumps({"cell": f"{sampler}@{steps}", "seed": seed,
+            print(json.dumps({"cell": cell_name, "seed": seed,
                               "PQ": round(res["PQ"], 3),
                               "SQ": round(res["SQ"], 3),
                               "RQ": round(res["RQ"], 3),
@@ -104,19 +137,39 @@ def main(argv=None):
                   flush=True)
         mean = float(np.mean(pqs))
         std = float(np.std(pqs, ddof=1)) if len(pqs) > 1 else 0.0
-        line = json.dumps({
+        line = json.dumps(dict({
             "pq_mean": round(mean, 3), "pq_std": round(std, 3),
             "seeds": seeds, "pq_per_seed": [round(x, 3) for x in pqs],
             "ckpt": args.ckpt, "steps": steps, "sampler": sampler,
             "mask_th": p["eval_kwargs"]["mask_th"],
             "overlap_th": p["eval_kwargs"]["overlap_th"],
             "holdout": p.get("holdout", 0),
+            "class_aware": not class_agnostic,
             "int8": os.environ.get("LDMSEG_INT8", "0"),
-        })
+        }, **tags))
         print(line, flush=True)
         if out_f:
             out_f.write(line + "\n")
             out_f.flush()
+
+    for sampler, steps in cells:
+        run_cell(f"{sampler}@{steps}", sampler, int(steps))
+
+    for spec in (args.variant_cells.split(",") if args.variant_cells else []):
+        name, sampler, steps = spec.split(":")
+        if name == "full16":
+            swap_val_dataset(holdout=0)
+            run_cell(f"full16/{sampler}@{steps}", sampler, int(steps),
+                     holdout=0)
+        elif name.startswith("classaware"):
+            n = int(name[len("classaware"):] or 3)
+            swap_val_dataset(holdout=p.get("holdout", 0),
+                             synthetic_categories=n)
+            run_cell(f"classaware{n}/{sampler}@{steps}", sampler, int(steps),
+                     class_agnostic=False, synthetic_categories=n)
+        else:
+            raise SystemExit(f"unknown variant cell {name!r}")
+
     if out_f:
         out_f.close()
 

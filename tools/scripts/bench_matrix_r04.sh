@@ -12,10 +12,15 @@
 set -u
 OUT=/root/repo/artifacts/bench_r04/bench_matrix.jsonl
 mkdir -p "$(dirname "$OUT")"
-: > "$OUT"
+
+# ROWS="a b c" runs only the named rows (time-boxed sessions) and APPENDS;
+# a full run (no ROWS) regenerates the matrix from scratch
+ROWS=${ROWS-}
+[ -z "$ROWS" ] && : > "$OUT"
 
 row() {
     name=$1; shift
+    if [ -n "$ROWS" ] && ! grep -qw "$name" <<< "$ROWS"; then return; fi
     echo "=== $name ==="
     log=/root/repo/artifacts/bench_r04/bench_${name}.log
     if timeout 3600 env "$@" > "$log" 2>&1; then
