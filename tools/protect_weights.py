@@ -142,6 +142,9 @@ def restore(args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (pack/restore are pure "
+                         "host IO; keeps the tool off a busy TPU)")
     sub = ap.add_subparsers(dest="cmd", required=True)
     p = sub.add_parser("pack")
     p.add_argument("run_dir")
@@ -157,6 +160,10 @@ def main(argv=None):
     p.add_argument("npz")
     p.set_defaults(fn=verify)
     args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     return args.fn(args) or 0
 
 

@@ -28,17 +28,23 @@ if [ -f /tmp/quality_ldm.pid ]; then
 fi
 sleep 10
 
+mkdir -p artifacts/bench_r04 artifacts/weights
+echo "=== weights artifact pack in background (CPU; TPU stays free) ==="
+nice -n 19 python tools/protect_weights.py --cpu pack "$RUN" --ckpt "$CKPT" \
+    --out artifacts/weights/run42_${CKPT}.npz \
+    > artifacts/bench_r04/protect_weights.log 2>&1 &
+PACK_PID=$!
+
 echo "=== 1+2. PQ gates + calibration ($(date -u +%H:%M)) ==="
 bash tools/scripts/pq_gates_r04.sh "$RUN" "$CKPT"
 
 echo "=== 3. bench matrix subset ($(date -u +%H:%M)) ==="
-ROWS="${BENCH_ROWS-fused512_d128 fused512_carrybf16 fused512_sliced dpmpp25 train512}" \
+ROWS="${BENCH_ROWS-fused512_d128 fused512_carrybf16 fused512_sliced dpmpp25}" \
     bash tools/scripts/bench_matrix_r04.sh
 
-echo "=== 4. weights artifact ($(date -u +%H:%M)) ==="
-python tools/protect_weights.py pack "$RUN" --ckpt "$CKPT" \
-    --out artifacts/weights/run42_${CKPT}.npz \
-    2>&1 | tee artifacts/bench_r04/protect_weights.log
-python tools/protect_weights.py verify artifacts/weights/run42_${CKPT}.npz
+echo "=== 4. weights artifact: waiting for pack ($(date -u +%H:%M)) ==="
+wait "$PACK_PID" || true
+cat artifacts/bench_r04/protect_weights.log
+python tools/protect_weights.py --cpu verify artifacts/weights/run42_${CKPT}.npz
 
 echo "=== crunch complete ($(date -u +%H:%M)) ==="
