@@ -33,6 +33,7 @@ def test_pack_verify_restore_roundtrip(tmp_path, capsys):
         "vae_semseg": {"conv": rng.normal(size=(3, 3, 2, 2)).astype(np.float32)},
         "step": np.asarray(123, np.int32),
         "epoch": np.asarray(7, np.int32),
+        "ema": None,  # EMA-disabled runs store None (run_42 did)
         "opt_state": {"mu": rng.normal(size=(8, 4)).astype(np.float32)},
     }
     run_dir = str(tmp_path / "run")
@@ -44,7 +45,7 @@ def test_pack_verify_restore_roundtrip(tmp_path, capsys):
     tool.main(["pack", run_dir, "--ckpt", "best_model", "--out", out])
     packed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # optimizer state dropped; weights + counters kept
-    assert packed["leaves"] == 5 and os.path.exists(out)
+    assert packed["leaves"] == 6 and os.path.exists(out)  # incl. ema=None
 
     assert tool.main(["verify", out]) == 0
     v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -55,6 +56,9 @@ def test_pack_verify_restore_roundtrip(tmp_path, capsys):
     data = restore_checkpoint(dst, name="best_model")
     assert data is not None and "opt_state" not in data
     assert int(data["step"]) == 123 and int(data["epoch"]) == 7
+    # None leaves survive pack->restore without allow_pickle (npz object
+    # arrays are never written; the manifest carries packed="none")
+    assert data.get("ema") is None
     # float weights round-trip through bf16 exactly at bf16 resolution
     want = payload["unet"]["blk"]["w"].astype(ml_dtypes.bfloat16)
     got = data["unet"]["blk"]["w"]

@@ -70,6 +70,12 @@ def pack(args):
 
     arrays, manifest = {}, {}
     for path, leaf in _flatten(data):
+        if leaf is None:
+            # e.g. the 'ema' slot of an EMA-disabled run: manifest-only
+            # (an object-dtype npz entry would need allow_pickle and its
+            # .tobytes() hash would be pointer garbage)
+            manifest[path] = {"packed": "none"}
+            continue
         arr = np.asarray(leaf)
         entry = {"shape": list(arr.shape), "dtype": str(arr.dtype)}
         if arr.dtype in (np.float64, np.float32):
@@ -91,7 +97,8 @@ def pack(args):
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
     np.savez_compressed(args.out, **arrays)
-    n_params = sum(int(np.prod(m["shape"])) for m in manifest.values())
+    n_params = sum(int(np.prod(m["shape"])) for m in manifest.values()
+                   if "shape" in m)
     print(json.dumps({"out": args.out, "leaves": len(manifest),
                       "params": n_params,
                       "bytes": os.path.getsize(args.out)}))
@@ -103,10 +110,21 @@ def _load(path):
     return z, meta
 
 
+def _is_none_entry(entry):
+    # "none" entries (current pack) and legacy scalar object entries (the
+    # round-4 run42 artifact packed an EMA-disabled None as dtype=object;
+    # its recorded hash is pointer bytes, unverifiable by construction)
+    return entry.get("packed") == "none" or (
+        entry.get("dtype") == "object" and entry.get("shape") == []
+    )
+
+
 def verify(args):
     z, meta = _load(args.npz)
     bad = []
     for path, entry in meta["leaves"].items():
+        if _is_none_entry(entry):
+            continue
         h = hashlib.sha256(np.ascontiguousarray(z[path]).tobytes()).hexdigest()
         if h != entry["sha256"]:
             bad.append(path)
@@ -123,6 +141,9 @@ def restore(args):
     z, meta = _load(args.npz)
     flat = {}
     for path, entry in meta["leaves"].items():
+        if _is_none_entry(entry):
+            flat[path] = None
+            continue
         arr = z[path]
         h = hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()
         assert h == entry["sha256"], f"hash mismatch at {path}"
