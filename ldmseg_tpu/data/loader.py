@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Any, Dict, Iterator, List, Optional
+from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -61,6 +61,18 @@ class DataLoader:
         self.epoch = epoch
 
     def _indices(self) -> np.ndarray:
+        return self._indices_flags()[0]
+
+    def _indices_flags(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-process index shard plus a parallel is-padding flag.
+
+        Padding happens at two levels and BOTH must be flagged so that
+        evaluators can count each image exactly once across processes
+        (ADVICE r4 #2 — a per-process ``seen_ids`` dedup misses a padded
+        duplicate that lands on a DIFFERENT process): (1) the global index
+        list is wrap-padded to a multiple of process_count — every global
+        position >= len(dataset) is padding; (2) the final partial batch is
+        repeat-padded below in :meth:`_batches`."""
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
@@ -68,29 +80,42 @@ class DataLoader:
             rng.shuffle(idx)
         # pad so every process sees the same number of samples
         per = -(-n // self.process_count)
-        if len(idx) < per * self.process_count:
-            idx = np.concatenate([idx, idx[: per * self.process_count - len(idx)]])
-        return idx[self.process_index:: self.process_count]
+        total = per * self.process_count
+        pad = np.zeros(total, dtype=bool)
+        if len(idx) < total:
+            idx = np.concatenate([idx, idx[: total - n]])
+            pad[n:] = True
+        return (idx[self.process_index:: self.process_count],
+                pad[self.process_index:: self.process_count])
 
     def __len__(self) -> int:
         per = len(self._indices())
         return per // self.batch_size if self.drop_last else -(-per // self.batch_size)
 
-    def _batches(self) -> Iterator[List[int]]:
-        idx = self._indices()
+    def _batches(self) -> Iterator[Tuple[List[int], List[bool]]]:
+        idx, padf = self._indices_flags()
         nb = len(self)
         for b in range(nb):
             chunk = idx[b * self.batch_size: (b + 1) * self.batch_size]
+            flags = padf[b * self.batch_size: (b + 1) * self.batch_size]
             if len(chunk) < self.batch_size and not self.drop_last:
                 # repeat-pad the final partial batch to keep shapes static
                 pad = self.batch_size - len(chunk)
                 chunk = np.concatenate([chunk, chunk[:1].repeat(pad)])
-            yield list(chunk)
+                flags = np.concatenate([flags, np.ones(pad, dtype=bool)])
+            yield list(chunk), [bool(f) for f in flags]
+
+    def _load(self, chunk: List[int], flags: List[bool]) -> Dict[str, Any]:
+        batch = collate([self.dataset[i] for i in chunk])
+        if "meta" in batch:
+            for m, f in zip(batch["meta"], flags):
+                m["is_padding"] = f
+        return batch
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         if self.num_threads <= 0:
-            for chunk in self._batches():
-                yield collate([self.dataset[i] for i in chunk])
+            for chunk, flags in self._batches():
+                yield self._load(chunk, flags)
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -98,8 +123,8 @@ class DataLoader:
 
         def worker():
             try:
-                for chunk in self._batches():
-                    q.put(collate([self.dataset[i] for i in chunk]))
+                for chunk, flags in self._batches():
+                    q.put(self._load(chunk, flags))
             finally:
                 q.put(stop)
 

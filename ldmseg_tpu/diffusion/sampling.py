@@ -32,7 +32,13 @@ def _carry_dtype():
     is tiny (B x 64 x 64 x 4). ``bf16`` halves the carry's HBM round-trip
     per step and skips the model-input downcast — measured A/B in
     BENCHMARKS.md round 4 (VERDICT r3 next-round #3b). The DDIM update
-    itself always runs fp32; only the carried value is cast."""
+    itself always runs fp32; only the carried value is cast.
+
+    The env var is read at TRACE time: flipping it after a jitted sampler
+    has compiled in the same process serves the stale carry dtype from the
+    jit cache (same per-process trap as LDMSEG_INT8, ADVICE r4 #4) — set
+    it before the first sample() call, or use a fresh process per
+    setting."""
     return (jnp.bfloat16
             if os.environ.get("LDMSEG_SAMPLE_CARRY", "fp32") == "bf16"
             else jnp.float32)

@@ -372,7 +372,15 @@ class PanopticEvaluator:
         results = {}
         all_res, per_class = stat.pq_average(self.categories, isthing=None)
         things_res, _ = stat.pq_average(self.categories, isthing=True)
-        s1 = stat[1]
+        # detection stats summed across ALL categories (class-agnostic runs
+        # have only cat 1; the class-aware synthetic-category mode has
+        # 10/20/30 — reading only cat 1 there printed ~0 and misled
+        # precision/recall attribution, ADVICE r4 #1); used by the
+        # calibration sweep to attribute threshold-induced PQ shifts to
+        # precision vs recall
+        tp = sum(s.tp for s in stat.pq_per_cat.values())
+        fp = sum(s.fp for s in stat.pq_per_cat.values())
+        fn = sum(s.fn for s in stat.pq_per_cat.values())
         res = {
             "PQ": 100 * all_res["pq"],
             "SQ": 100 * all_res["sq"],
@@ -380,11 +388,8 @@ class PanopticEvaluator:
             "PQ_th": 100 * things_res["pq"],
             "SQ_th": 100 * things_res["sq"],
             "RQ_th": 100 * things_res["rq"],
-            # category-1 detection stats (the proxy task is effectively
-            # single-category); used by the calibration sweep to attribute
-            # threshold-induced PQ shifts to precision vs recall
-            "precision": 100 * s1.tp / (s1.tp + s1.fp + 1e-8),
-            "recall": 100 * s1.tp / (s1.tp + s1.fn + 1e-8),
+            "precision": 100 * tp / (tp + fp + 1e-8),
+            "recall": 100 * tp / (tp + fn + 1e-8),
         }
         stuff_res, _ = stat.pq_average(self.categories, isthing=False)
         if stuff_res["n"] > 0 and not self.class_agnostic:

@@ -414,10 +414,15 @@ class TrainerAE:
             preds = np.asarray(preds)
             if save_images and batch_idx == 0 and jax.process_index() == 0:
                 self._dump_val_grid(batch, preds)
-            # loader repeat-pads partial batches: count each image once
+            # loader repeat-pads partial batches AND wrap-pads the global
+            # index space across processes: the is_padding flag marks every
+            # non-canonical occurrence so each image is counted exactly once
+            # ACROSS processes before synchronize_between_processes sums the
+            # meters (ADVICE r4 #2; per-process seen_ids kept as a
+            # belt-and-braces local dedup)
             keep = []
             for i, m in enumerate(batch["meta"]):
-                if m["image_id"] not in seen_ids:
+                if not m.get("is_padding") and m["image_id"] not in seen_ids:
                     seen_ids.add(m["image_id"])
                     keep.append(i)
             meter.update(preds[keep], np.asarray(batch["semseg"])[keep])

@@ -609,6 +609,19 @@ class TrainerDiffusion:
         evaluation(max_iter=self.p["eval_kwargs"].get("initial_eval_iters"))
         start = time.time()
         eval_every = self.p["eval_kwargs"].get("eval_every", 1)
+        # Two-tier eval cadence (VERDICT r4 next #2): the full protocol eval
+        # (eval_seeds x num_inference_steps, drives best-model selection)
+        # measured ~350-600s on the tunneled TPU; run every 300 steps it ate
+        # 80-90% of round-4 training wall-clock. When
+        # eval_kwargs.full_eval_every is set, only every full_eval_every-th
+        # epoch runs the full protocol; the other eval_every epochs run a
+        # cheap trend eval (quick_eval_seeds x quick_eval_steps, default 1
+        # seed x 25 steps, logged under val_quick/, never selects
+        # best_model). full_eval_every=None keeps reference behavior: every
+        # eval is full (trainers_ldm_cond.py:965 evals once per epoch).
+        full_eval_every = self.p["eval_kwargs"].get("full_eval_every")
+        quick_steps = self.p["eval_kwargs"].get("quick_eval_steps", 25)
+        quick_seeds = self.p["eval_kwargs"].get("quick_eval_seeds")
         # per-epoch checkpointing is reference behavior, but a full save is
         # a device_get of the whole UNet (~3.4GB) — pathological for short
         # epochs; train_kwargs.save_every (epochs) spaces it out
@@ -627,7 +640,24 @@ class TrainerDiffusion:
             ):
                 self.save(epoch)
             if (epoch + 1) % eval_every == 0 or epoch == self.epochs - 1:
-                evaluation(set_save_model=True)
+                full = (
+                    full_eval_every is None
+                    or (epoch + 1) % full_eval_every == 0
+                    or epoch == self.epochs - 1
+                )
+                if full:
+                    evaluation(set_save_model=True)
+                else:
+                    seeds = list(
+                        quick_seeds
+                        or (self.p["eval_kwargs"].get("eval_seeds") or [0])[:1]
+                    )
+                    self.compute_metrics(
+                        metrics=["pq"], threshold_output=True,
+                        save_images=False, seed=seeds,
+                        num_inference_steps=quick_steps,
+                        set_save_model=False, log_prefix="val_quick",
+                    )
             print(f"Epoch {epoch}: avg loss {losses.avg:.4e}, "
                   f"{time.time() - t0:.1f}s")
         evaluation(max_iter=None)
@@ -643,7 +673,7 @@ class TrainerDiffusion:
     def compute_metrics(self, metrics=("pq",), threshold_output=True,
                         save_images=False, seed=None, max_iter=None,
                         num_inference_steps=50, set_save_model=False,
-                        class_agnostic=True, **_):
+                        class_agnostic=True, log_prefix="val", **_):
         results = {}
         for m in metrics:
             if m.lower() == "pq":
@@ -651,7 +681,7 @@ class TrainerDiffusion:
                     num_inference_steps=num_inference_steps,
                     threshold_output=threshold_output, save_images=save_images,
                     seed=seed, max_iter=max_iter, save_model=set_save_model,
-                    class_agnostic=class_agnostic,
+                    class_agnostic=class_agnostic, log_prefix=log_prefix,
                 )
             else:
                 raise NotImplementedError(m)
@@ -659,7 +689,8 @@ class TrainerDiffusion:
 
     def compute_pq(self, num_inference_steps=50, guidance_scale=7.5, seed=None,
                    threshold_output=True, save_images=False, max_iter=None,
-                   threshold_mode="max", save_model=False, class_agnostic=True):
+                   threshold_mode="max", save_model=False, class_agnostic=True,
+                   log_prefix="val"):
         """Generative eval: encode RGB -> 50-step sample -> decode -> PQ
         (trainers_ldm_cond.py:1180-1346).
 
@@ -712,7 +743,8 @@ class TrainerDiffusion:
         trim_host_heap()  # eval device_gets GBs of logits; return freed pages
         if jax.process_index() == 0:
             self.metrics_logger.log(
-                dict({f"val/{k}": v for k, v in results["panoptic_seg"].items()},
+                dict({f"{log_prefix}/{k}": v
+                      for k, v in results["panoptic_seg"].items()},
                      rss_gb=host_rss_gb()),
                 step=self.step,
             )
@@ -740,6 +772,16 @@ class TrainerDiffusion:
             )
         thing_map = self.ds_val.meta_data["thing_dataset_id_to_contiguous_id"]
         rng = jax.random.PRNGKey(seed)
+        # eval observability (VERDICT r4 next #7): when a seed's PQ comes
+        # out 0.00 the row must self-explain — was the postprocessor
+        # starved of confident mass, or did it keep segments that all
+        # missed? Accumulated per seed: kept-segment count, mean kept
+        # area, and the fraction of pixels whose max-softmax clears
+        # mask_th (same statistic as tools/calibrate_postprocess.py).
+        n_segs = 0
+        seg_area_sum = 0
+        conf_pix = 0
+        tot_pix = 0
 
         for batch_idx, batch in enumerate(self.dl_val):
             # fresh noise per val batch (reference draws sequentially from
@@ -763,6 +805,10 @@ class TrainerDiffusion:
             )
             file_names = [m["image_file"] for m in batch["meta"]]
             image_ids = [m["image_id"] for m in batch["meta"]]
+            xe = np.exp(logits - logits.max(axis=-1, keepdims=True))
+            conf = (xe / xe.sum(axis=-1, keepdims=True)).max(axis=-1)
+            conf_pix += int((conf >= self.mask_th).sum())
+            tot_pix += int(conf.size)
             outputs = []
             for i in range(len(file_names)):
                 pan, segs = postprocess_image(
@@ -777,6 +823,9 @@ class TrainerDiffusion:
                     segs = assign_area_bucket_categories(
                         pan, segs, num_buckets, thing_map
                     )
+                n_segs += len(segs)
+                ids, cnts = np.unique(pan, return_counts=True)
+                seg_area_sum += int(cnts[ids != 0].sum())
                 outputs.append({"panoptic_seg": (pan, segs)})
             evaluator.process(file_names, image_ids, outputs)
             if save_images and batch_idx == 0 and jax.process_index() == 0:
@@ -784,7 +833,16 @@ class TrainerDiffusion:
             if max_iter is not None and batch_idx + 1 >= max_iter:
                 break
 
-        return evaluator.evaluate()
+        res = evaluator.evaluate()
+        if res is not None:
+            res["panoptic_seg"]["pred_segments"] = float(n_segs)
+            res["panoptic_seg"]["seg_mean_area"] = float(
+                seg_area_sum / max(n_segs, 1)
+            )
+            res["panoptic_seg"]["conf_mass"] = float(
+                conf_pix / max(tot_pix, 1)
+            )
+        return res
 
     # -- visualization -----------------------------------------------------------
     def log_images_val(self, batch, latents, outputs):

@@ -77,6 +77,31 @@ def test_loader_partial_batch_padding():
     np.testing.assert_array_equal(batches[-1]["image"][1], batches[-1]["image"][0])
 
 
+def test_loader_is_padding_flags_exactly_once_across_processes():
+    """Each dataset image is non-padding exactly once ACROSS process shards:
+    the wrap-pad of the global index space (ADVICE r4 #2) and the partial-
+    batch repeat-pad are both flagged in meta['is_padding']."""
+    n, pc = 5, 2  # 5 images over 2 processes -> one wrap-padded duplicate
+    counts = {}
+    for pi in range(pc):
+        dl = DataLoader(_ToyDataset(n), 2, shuffle=False, drop_last=False,
+                        process_index=pi, process_count=pc)
+        for batch in dl:
+            for m in batch["meta"]:
+                assert "is_padding" in m
+                if not m["is_padding"]:
+                    counts[m["image_id"]] = counts.get(m["image_id"], 0) + 1
+    assert counts == {i: 1 for i in range(n)}
+
+
+def test_loader_partial_batch_padding_flagged():
+    ds = _ToyDataset(5)
+    dl = DataLoader(ds, 2, shuffle=False, drop_last=False)
+    batches = list(dl)
+    flags = [m["is_padding"] for b in batches for m in b["meta"]]
+    assert flags == [False] * 5 + [True]  # repeat-padded 6th slot
+
+
 def test_checkpoint_save_restore_roundtrip(tmp_path):
     import jax.numpy as jnp
 

@@ -182,6 +182,52 @@ def test_trainer_diffusion_smoke(tmp_path, examples_root):
     )
 
 
+def test_trainer_two_tier_eval_cadence(tmp_path, examples_root):
+    """full_eval_every (VERDICT r4 next #2): intermediate evals run the
+    cheap quick tier (1 seed x quick_eval_steps, logged under val_quick/,
+    never selecting best_model); full protocol evals land on the
+    full_eval_every grid and on the final epoch, and carry the per-seed
+    observability stats (pred_segments / conf_mass / seg_mean_area,
+    VERDICT r4 next #7)."""
+    import json as _json
+
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+
+    p = tiny_config(tmp_path)
+    p["train_kwargs"]["train_num_steps"] = 8  # len(dl)=4 -> 2 epochs
+    p["eval_kwargs"].update(
+        eval_every=1, full_eval_every=2, quick_eval_steps=2,
+        initial_eval_iters=0, eval_seeds=[0, 1],
+    )
+    ds_t, ds_v = _datasets(examples_root, p)
+    mesh = make_mesh(MeshSpec(data=4, fsdp=1), devices=jax.devices()[:4])
+    trainer = TrainerDiffusion(
+        p, mesh=mesh, results_folder=str(tmp_path / "run_tt"),
+        dataset_train=ds_t, dataset_val=ds_v,
+        unet_cfg=tiny_unet_config(in_channels=8, cond_channels=4),
+        sd_vae_cfg=SDVAEConfig(block_out_channels=(8, 8, 8, 8),
+                               layers_per_block=1, norm_num_groups=4,
+                               dtype="float32"),
+    )
+    trainer.train_loop()
+    rows = [_json.loads(l) for l in
+            open(os.path.join(str(tmp_path / "run_tt"), "metrics.jsonl"))]
+    quick = [r for r in rows if "val_quick/PQ" in r]
+    full = [r for r in rows if "val/PQ" in r]
+    # epoch 0 -> quick tier; epoch 1 (full_eval_every and last) -> full;
+    # plus the initial (max_iter=0) and final train_loop evals -> full
+    assert len(quick) == 1
+    assert len(full) >= 2
+    for r in full + quick:
+        pref = "val_quick" if f"val_quick/PQ" in r else "val"
+        assert f"{pref}/pred_segments" in r
+        assert f"{pref}/conf_mass" in r
+        assert f"{pref}/seg_mean_area" in r
+    # quick tier ran a single seed -> no seed std; full ran 2 seeds
+    assert not any("val_quick/PQ_seed_std" in r for r in quick)
+    assert any("val/PQ_seed_std" in r for r in full)
+
+
 def test_trainer_diffusion_inpainting_sampler(tmp_path, examples_root):
     """Inpainting inference: known latents pasted through the mask."""
     import jax.numpy as jnp

@@ -120,7 +120,7 @@ def main(argv=None):
 
     def run_cell(cell_name, sampler, steps, class_agnostic=True, **tags):
         set_sampler(sampler)
-        pqs = []
+        pqs, segs_per_seed, conf_per_seed, area_per_seed = [], [], [], []
         for seed in seeds:
             res = trainer.compute_metrics(
                 metrics=["pq"], threshold_output=True, save_images=False,
@@ -128,18 +128,31 @@ def main(argv=None):
                 class_agnostic=class_agnostic,
             )["pq"]["panoptic_seg"]
             pqs.append(res["PQ"])
+            # observability columns (VERDICT r4 next #7): a 0.00 PQ row
+            # self-explains — 0 kept segments + low conf_mass means the
+            # postprocessor was starved of confident pixels, not that the
+            # evaluator mismatched everything
+            segs_per_seed.append(int(res.get("pred_segments", -1)))
+            conf_per_seed.append(round(float(res.get("conf_mass", -1)), 4))
+            area_per_seed.append(round(float(res.get("seg_mean_area", -1)), 1))
             print(json.dumps({"cell": cell_name, "seed": seed,
                               "PQ": round(res["PQ"], 3),
                               "SQ": round(res["SQ"], 3),
                               "RQ": round(res["RQ"], 3),
                               "precision": round(res["precision"], 2),
-                              "recall": round(res["recall"], 2)}),
+                              "recall": round(res["recall"], 2),
+                              "pred_segments": segs_per_seed[-1],
+                              "conf_mass": conf_per_seed[-1],
+                              "seg_mean_area": area_per_seed[-1]}),
                   flush=True)
         mean = float(np.mean(pqs))
         std = float(np.std(pqs, ddof=1)) if len(pqs) > 1 else 0.0
         line = json.dumps(dict({
             "pq_mean": round(mean, 3), "pq_std": round(std, 3),
             "seeds": seeds, "pq_per_seed": [round(x, 3) for x in pqs],
+            "pred_segments_per_seed": segs_per_seed,
+            "conf_mass_per_seed": conf_per_seed,
+            "seg_mean_area_per_seed": area_per_seed,
             "ckpt": args.ckpt, "steps": steps, "sampler": sampler,
             "mask_th": p["eval_kwargs"]["mask_th"],
             "overlap_th": p["eval_kwargs"]["overlap_th"],
