@@ -159,6 +159,7 @@ def postprocess_image(
     ignore_label: int = 0,
     threshold_output: bool = True,
     threshold_mode: str = "max",
+    temperature: float = 1.0,
 ) -> Tuple[np.ndarray, List[dict]]:
     """Full reference-parity per-image host postprocess.
 
@@ -166,10 +167,22 @@ def postprocess_image(
     0=void, segments_info). Mirrors trainers_ldm_cond.py:1260-1313 exactly
     (crop padding -> resize logits to original size -> argmax/threshold ->
     unique-count + overlap filters).
+
+    ``temperature`` divides the logits before the softmax confidence and
+    the per-channel sigmoid (argmax is invariant). T<1 sharpens: the
+    measured release-config collapse (VERDICT r3 missing #3 -> r4
+    calibration sweep) is an under-confident scratch model whose
+    max-softmax mass sits below the reference's mask_th=0.9 release
+    threshold; a train-split-fitted temperature makes that operating point
+    usable (tools/calibrate_postprocess.py --fit-temperature). T=1.0 is
+    exact reference behavior (no temperature in the reference,
+    trainers_ldm_cond.py:1260-1313).
     """
     x = np.ascontiguousarray(logits_hw_c.transpose(2, 0, 1))  # [C, H, W]
     x = crop_padding_np(x, padding_mask)
     x = resize_bilinear_np(x.astype(np.float32), original_size)
+    if temperature != 1.0:
+        x = x / np.float32(temperature)
 
     pred = np.argmax(x, axis=0).astype(np.int64)
     if threshold_output:

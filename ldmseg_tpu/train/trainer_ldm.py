@@ -185,6 +185,11 @@ class TrainerDiffusion:
         self.mask_th = ek["mask_th"]
         self.count_th = ek["count_th"]
         self.overlap_th = ek["overlap_th"]
+        # postprocess temperature (1.0 = exact reference behavior); fitted
+        # on the train split by tools/calibrate_postprocess.py
+        # --fit-temperature to make the reference's 0.9/0.9 release
+        # thresholds usable on under-confident scratch models
+        self.eval_temperature = ek.get("temperature", 1.0)
         self.image_size = p["transformation_kwargs"]["size"]
         self.rgb_size = p["transformation_kwargs"].get("size_rgb", self.image_size)
         self.ignore_label = p.get("ignore_label", 0)
@@ -805,7 +810,9 @@ class TrainerDiffusion:
             )
             file_names = [m["image_file"] for m in batch["meta"]]
             image_ids = [m["image_id"] for m in batch["meta"]]
-            xe = np.exp(logits - logits.max(axis=-1, keepdims=True))
+            lt = (logits / np.float32(self.eval_temperature)
+                  if self.eval_temperature != 1.0 else logits)
+            xe = np.exp(lt - lt.max(axis=-1, keepdims=True))
             conf = (xe / xe.sum(axis=-1, keepdims=True)).max(axis=-1)
             conf_pix += int((conf >= self.mask_th).sum())
             tot_pix += int(conf.size)
@@ -818,6 +825,7 @@ class TrainerDiffusion:
                     overlap_th=self.overlap_th, ignore_label=self.ignore_label,
                     threshold_output=threshold_output,
                     threshold_mode=threshold_mode,
+                    temperature=self.eval_temperature,
                 )
                 if not class_agnostic:
                     segs = assign_area_bucket_categories(

@@ -131,3 +131,32 @@ def test_release_config_is_a_confidence_cliff_not_a_bug():
     assert len(segs_soft_05) > 0
     assert len(segs_soft_09) == 0  # the release-config collapse, isolated
     assert len(segs_sharp_09) >= len(segs_soft_05)
+
+
+def test_temperature_recovers_release_config():
+    """The temperature fix for the confidence cliff above (VERDICT r4 next
+    #4): dividing the soft model's logits by T=1/3 (i.e. temperature 1/3
+    sharpens the 2t logit gap to 6t) makes the release config 0.9/0.9
+    usable again, with the SAME panoptic ids as the raw 0.5 operating
+    point (argmax is temperature-invariant). T=1.0 is bit-identical to
+    no-temperature (reference behavior)."""
+    rng = np.random.default_rng(1)
+    labels = np.repeat(np.repeat(rng.integers(1, 8, (8, 8)), 8, 0), 8, 1)
+    onehot = (labels[..., None] == np.arange(16)).astype(np.float32)
+    margin = 2 * onehot - 1
+    pad = np.ones((64, 64))
+    kw = dict(count_th=16, ignore_label=0, threshold_output=True)
+    soft = 2.0 * margin
+
+    pan_raw05, segs_raw05 = postprocess_image(
+        soft, pad, (64, 64), mask_th=0.5, overlap_th=0.5, **kw)
+    pan_t1, segs_t1 = postprocess_image(
+        soft, pad, (64, 64), mask_th=0.9, overlap_th=0.9, temperature=1.0,
+        **kw)
+    pan_cal, segs_cal = postprocess_image(
+        soft, pad, (64, 64), mask_th=0.9, overlap_th=0.9,
+        temperature=1.0 / 3.0, **kw)
+
+    assert len(segs_t1) == 0          # T=1: collapse unchanged
+    assert segs_cal == segs_raw05     # calibrated release == raw 0.5
+    np.testing.assert_array_equal(pan_cal, pan_raw05)

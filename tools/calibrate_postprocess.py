@@ -15,9 +15,21 @@ grid of mask_th values on the SAME logits, and prints:
   * one JSON line per (mask_th, overlap_th) cell with PQ mean+/-std across
     seeds.
 
+Temperature calibration (VERDICT r4 next #4): the r4 sweep measured the
+collapse mechanism — only ~10.8% of pixel mass clears the reference's 0.9
+release threshold on the scratch model. ``--fit-temperature`` turns that
+attribution into a fix: it samples the TRAIN split (the 12 holdout-train
+images — fitting on train, reporting on held-out val), grids a
+temperature T over the release operating point (mask_th = overlap_th =
+--release-th), picks the T* maximizing train-split mean PQ, then re-runs
+the val sweep calibrated at T* next to the raw T=1 sweep. Every output
+row carries "temperature" and "split" fields.
+
     python tools/calibrate_postprocess.py <run_dir> [--ckpt best_model]
         [--steps 50] [--seeds 0,1,2] [--grid 0.5,0.6,0.7,0.8,0.9,0.95]
-        [--overlap-th-mode pair|fixed]
+        [--overlap-th-mode pair|fixed] [--temperature 1.0]
+        [--fit-temperature 0.1,0.15,0.2,0.3,0.5,0.7,1.0]
+        [--release-th 0.9]
 """
 
 import argparse
@@ -42,6 +54,16 @@ def main(argv=None):
                     help="pair: overlap_th = mask_th per cell (the "
                          "reference release config pairs 0.9/0.9); fixed: "
                          "keep the snapshot's overlap_th")
+    ap.add_argument("--temperature", type=float, default=1.0,
+                    help="postprocess temperature for the val sweep "
+                         "(1.0 = raw reference behavior)")
+    ap.add_argument("--fit-temperature", default=None,
+                    help="comma grid of temperatures to fit on the TRAIN "
+                         "split at --release-th; the best T* is then used "
+                         "for a second, calibrated val sweep")
+    ap.add_argument("--release-th", type=float, default=0.9,
+                    help="release operating point for the temperature fit "
+                         "(reference eval.sh pairs mask_th=overlap_th=0.9)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -88,71 +110,76 @@ def main(argv=None):
     seeds = [int(s) for s in args.seeds.split(",")]
     grid = [float(g) for g in args.grid.split(",")]
 
-    # ---- sample once per seed, cache logits per unique image ------------
-    per_seed_logits = {}  # seed -> {image_id: (logits, mask, meta)}
     hist_edges = np.linspace(0.0, 1.0, 21)
-    hist_total = np.zeros(20, np.int64)
-    for seed in seeds:
-        rng = jax.random.PRNGKey(seed)
-        cache = {}
-        for batch in trainer.dl_val:
-            rng, rng_batch = jax.random.split(rng)
-            rgb = jnp.asarray(batch["image"])
-            rgb_latents = trainer.encode_rgb_images(rgb)
-            context = trainer._batch_context(batch)
-            latents = trainer.sample(
-                rgb_latents, rng=rng_batch,
-                num_inference_steps=args.steps, context=context,
-                uncond_context=(trainer._uncond_context(int(rgb.shape[0]))
-                                if context is not None else None),
-            )
-            logits = trainer.decode_latents(latents, return_logits=True)
-            logits = np.asarray(
-                resize_bilinear(logits, (rgb.shape[1], rgb.shape[2]))
-            )
-            for i, m in enumerate(batch["meta"]):
-                if m["image_id"] in cache:
-                    continue  # loader repeat-pads partial batches
-                cache[m["image_id"]] = (
-                    logits[i], np.asarray(batch["mask"][i]), m
+
+    def collect(dl, split_name):
+        """Sample once per seed over ``dl``; cache decoded logits per
+        unique image and print the split's confidence histogram."""
+        per_seed = {}  # seed -> {image_id: (logits, mask, meta)}
+        hist_total = np.zeros(20, np.int64)
+        for seed in seeds:
+            rng = jax.random.PRNGKey(seed)
+            cache = {}
+            for batch in dl:
+                rng, rng_batch = jax.random.split(rng)
+                rgb = jnp.asarray(batch["image"])
+                rgb_latents = trainer.encode_rgb_images(rgb)
+                context = trainer._batch_context(batch)
+                latents = trainer.sample(
+                    rgb_latents, rng=rng_batch,
+                    num_inference_steps=args.steps, context=context,
+                    uncond_context=(
+                        trainer._uncond_context(int(rgb.shape[0]))
+                        if context is not None else None),
                 )
-                # calibration histogram at input resolution (pre-resize):
-                # max softmax prob per pixel
-                x = logits[i].astype(np.float32)
-                xe = np.exp(x - x.max(axis=-1, keepdims=True))
-                conf = (xe / xe.sum(axis=-1, keepdims=True)).max(axis=-1)
-                h, _ = np.histogram(conf, bins=hist_edges)
-                hist_total += h
-        per_seed_logits[seed] = cache
+                logits = trainer.decode_latents(latents, return_logits=True)
+                logits = np.asarray(
+                    resize_bilinear(logits, (rgb.shape[1], rgb.shape[2]))
+                )
+                for i, m in enumerate(batch["meta"]):
+                    if m["image_id"] in cache:
+                        continue  # loader repeat-pads partial batches
+                    cache[m["image_id"]] = (
+                        logits[i], np.asarray(batch["mask"][i]), m
+                    )
+                    # calibration histogram at input resolution
+                    # (pre-resize): max softmax prob per pixel
+                    x = logits[i].astype(np.float32)
+                    xe = np.exp(x - x.max(axis=-1, keepdims=True))
+                    conf = (xe / xe.sum(axis=-1, keepdims=True)).max(axis=-1)
+                    h, _ = np.histogram(conf, bins=hist_edges)
+                    hist_total += h
+            per_seed[seed] = cache
 
-    frac = hist_total / max(hist_total.sum(), 1)
-    print(json.dumps({
-        "confidence_histogram": {
-            f"{hist_edges[i]:.2f}-{hist_edges[i + 1]:.2f}":
-                round(float(frac[i]), 4)
-            for i in range(20) if frac[i] > 0
-        },
-        "mass_ge_0.9": round(float(frac[18:].sum()), 4),
-        "mass_ge_0.5": round(float(frac[10:].sum()), 4),
-        "ckpt": args.ckpt, "steps": args.steps, "seeds": seeds,
-    }))
+        frac = hist_total / max(hist_total.sum(), 1)
+        print(json.dumps({
+            "split": split_name,
+            "confidence_histogram": {
+                f"{hist_edges[i]:.2f}-{hist_edges[i + 1]:.2f}":
+                    round(float(frac[i]), 4)
+                for i in range(20) if frac[i] > 0
+            },
+            "mass_ge_0.9": round(float(frac[18:].sum()), 4),
+            "mass_ge_0.5": round(float(frac[10:].sum()), 4),
+            "ckpt": args.ckpt, "steps": args.steps, "seeds": seeds,
+        }), flush=True)
+        return per_seed
 
-    # ---- threshold sweep on the cached logits ----------------------------
     base_overlap = p["eval_kwargs"].get("overlap_th", 0.5)
     count_th = p["eval_kwargs"].get("count_th", trainer.count_th)
-    for mask_th in grid:
-        overlap_th = mask_th if args.overlap_th_mode == "pair" else base_overlap
+
+    def run_cell(per_seed, meta_data, mask_th, overlap_th, temperature,
+                 split_name):
         pqs, precisions, recalls, n_segs = [], [], [], []
         for seed in seeds:
-            ev = PanopticEvaluator(trainer.ds_val.meta_data,
-                                   class_agnostic=True)
+            ev = PanopticEvaluator(meta_data, class_agnostic=True)
             total_segs = 0
-            for image_id, (logits, mask, m) in per_seed_logits[seed].items():
+            for image_id, (logits, mask, m) in per_seed[seed].items():
                 pan, segs = postprocess_image(
                     logits, mask, m["im_size"], mask_th=mask_th,
                     count_th=count_th, overlap_th=overlap_th,
                     ignore_label=trainer.ignore_label,
-                    threshold_output=True,
+                    threshold_output=True, temperature=temperature,
                 )
                 total_segs += len(segs)
                 ev.process([m["image_file"]], [image_id],
@@ -165,13 +192,57 @@ def main(argv=None):
         mean = float(np.mean(pqs))
         std = float(np.std(pqs, ddof=1)) if len(pqs) > 1 else 0.0
         print(json.dumps({
+            "split": split_name, "temperature": temperature,
             "mask_th": mask_th, "overlap_th": overlap_th,
             "pq_mean": round(mean, 3), "pq_std": round(std, 3),
             "pq_per_seed": [round(x, 3) for x in pqs],
             "precision_mean": round(float(np.nanmean(precisions)), 2),
             "recall_mean": round(float(np.nanmean(recalls)), 2),
             "pred_segments_per_seed": n_segs,
-        }))
+        }), flush=True)
+        return mean
+
+    # ---- optional: fit temperature on the TRAIN split -------------------
+    temperatures = [args.temperature]
+    if args.fit_temperature:
+        from ldmseg_tpu.data.coco import get_dataset
+        from ldmseg_tpu.data.loader import DataLoader
+
+        kw = dict(trainer._val_ds_kwargs)
+        ds_fit = get_dataset(
+            p["val_db_name"], p["data_dir"], "train",
+            transform=trainer.ds_val.transform, caption_dropout=1.0, **kw,
+        )
+        dl_fit = DataLoader(
+            ds_fit, trainer.batch_size_val, shuffle=False, drop_last=False,
+            seed=0, process_index=jax.process_index(),
+            process_count=jax.process_count(), num_threads=0,
+        )
+        fit_cache = collect(dl_fit, "train")
+        fit_grid = [float(t) for t in args.fit_temperature.split(",")]
+        scores = {
+            t: run_cell(fit_cache, ds_fit.meta_data, args.release_th,
+                        args.release_th, t, "train")
+            for t in fit_grid
+        }
+        t_star = max(scores, key=scores.get)
+        print(json.dumps({
+            "fit": "temperature", "split": "train",
+            "release_th": args.release_th,
+            "t_star": t_star, "scores": {str(t): round(s, 3)
+                                         for t, s in scores.items()},
+        }), flush=True)
+        if t_star not in temperatures:
+            temperatures.append(t_star)
+
+    # ---- threshold sweep(s) on the cached val logits --------------------
+    val_cache = collect(trainer.dl_val, "val")
+    for temperature in temperatures:
+        for mask_th in grid:
+            overlap_th = (mask_th if args.overlap_th_mode == "pair"
+                          else base_overlap)
+            run_cell(val_cache, trainer.ds_val.meta_data, mask_th,
+                     overlap_th, temperature, "val")
 
 
 if __name__ == "__main__":

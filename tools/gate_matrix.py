@@ -42,6 +42,15 @@ def main(argv=None):
                          "classawareN uses N synthetic area-bucket "
                          "categories with the class-aware evaluator")
     ap.add_argument("--out", default=None, help="append jsonl summary here")
+    ap.add_argument("--temperature", type=float, default=None,
+                    help="postprocess temperature override (e.g. the T* "
+                         "fitted by calibrate_postprocess --fit-temperature"
+                         "); recorded in every row")
+    ap.add_argument("--mask-th", type=float, default=None,
+                    help="override the snapshot's mask_th (e.g. 0.9 for "
+                         "a release-config cell)")
+    ap.add_argument("--overlap-th", type=float, default=None,
+                    help="override the snapshot's overlap_th")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -61,6 +70,12 @@ def main(argv=None):
     p["save_dir"] = os.path.join(args.run_dir, "predictions")
     p["eval_only"] = True
     p["eval_kwargs"]["num_workers"] = 0
+    if args.temperature is not None:
+        p["eval_kwargs"]["temperature"] = args.temperature
+    if args.mask_th is not None:
+        p["eval_kwargs"]["mask_th"] = args.mask_th
+    if args.overlap_th is not None:
+        p["eval_kwargs"]["overlap_th"] = args.overlap_th
 
     mesh = make_mesh(MeshSpec(data=1, fsdp=1), devices=jax.devices()[:1])
     from ldmseg_tpu.models.descriptors import get_image_descriptor_model
@@ -156,6 +171,7 @@ def main(argv=None):
             "ckpt": args.ckpt, "steps": steps, "sampler": sampler,
             "mask_th": p["eval_kwargs"]["mask_th"],
             "overlap_th": p["eval_kwargs"]["overlap_th"],
+            "temperature": p["eval_kwargs"].get("temperature", 1.0),
             "holdout": p.get("holdout", 0),
             "class_aware": not class_agnostic,
             "int8": os.environ.get("LDMSEG_INT8", "0"),

@@ -16,6 +16,17 @@ The reference has no equivalent (torch.save'd .pt files are assumed to
 live on a durable filesystem, trainers_ldm_cond.py:1791-1814); this is
 infrastructure for the round-based environment.
 
+Retention policy (VERDICT r4 weak #5): ONE artifact path per run stage,
+overwritten in place when a better checkpoint supersedes it —
+``artifacts/weights/run41_ae.npz`` (stage 1) and
+``artifacts/weights/run42_best_model.npz`` (stage 2). Do NOT add
+per-round or per-step paths: git keeps every superseded blob in history
+anyway (the .git pack is already ~1.4 GB from one UNet), so new paths
+balloon history AND clutter the tree. Overwriting the same path keeps
+the tree at exactly one live artifact per stage; anyone needing an older
+artifact can check out the commit that packed it. Budget: keep
+``artifacts/weights/`` under ~2 GB live.
+
   pack:    python tools/protect_weights.py pack <run_dir> --ckpt best_model \
                --out artifacts/weights/run42_best.npz
   restore: python tools/protect_weights.py restore artifacts/weights/run42_best.npz \
@@ -59,6 +70,26 @@ def _unflatten(flat):
 
 def pack(args):
     from ldmseg_tpu.train.checkpoint import load_config_snapshot, restore_checkpoint
+
+    # refuse to pack while a save of this checkpoint may be in flight
+    # (ADVICE r4 #3): save_checkpoint writes to <name>.tmp_new* then
+    # atomically renames, so a LIVE tmp dir means the visible dir is about
+    # to be replaced (or, if the trainer was killed mid-save, is stale but
+    # complete). Packing mid-swap could read a half-deleted dir.
+    tmp_dirs = [d for d in os.listdir(args.run_dir)
+                if d.startswith(f"{args.ckpt}.tmp_new")]
+    if tmp_dirs and not args.force:
+        import time
+        ages = {d: time.time() - os.path.getmtime(os.path.join(args.run_dir, d))
+                for d in tmp_dirs}
+        fresh = {d: a for d, a in ages.items() if a < 120}
+        if fresh:
+            raise SystemExit(
+                f"save in flight? fresh tmp dirs {fresh} next to "
+                f"{args.ckpt!r} — wait for the trainer to exit (kill -0 "
+                f"loop) or pass --force")
+        print(f"note: stale tmp dirs {list(ages)} (killed mid-save); the "
+              f"visible {args.ckpt!r} dir is the last completed save")
 
     data = restore_checkpoint(args.run_dir, name=args.ckpt)
     assert data is not None, f"no checkpoint {args.ckpt!r} in {args.run_dir}"
@@ -171,6 +202,8 @@ def main(argv=None):
     p.add_argument("run_dir")
     p.add_argument("--ckpt", default="best_model")
     p.add_argument("--out", required=True)
+    p.add_argument("--force", action="store_true",
+                   help="pack even if a fresh .tmp_new save dir exists")
     p.set_defaults(fn=pack)
     p = sub.add_parser("restore")
     p.add_argument("npz")
