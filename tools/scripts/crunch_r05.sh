@@ -52,7 +52,7 @@ bash tools/scripts/pq_gates_r05.sh "$RUN" "$CKPT"
 
 echo "=== 3. bench matrix subset ($(date -u +%H:%M)) ==="
 ROWS="${BENCH_ROWS-fused512_d128 dpmpp25}" \
-    bash tools/scripts/bench_matrix_r04.sh
+    bash tools/scripts/bench_matrix_r05.sh
 
 echo "=== 4. weights artifact: waiting for pack ($(date -u +%H:%M)) ==="
 wait "$PACK_PID" || true
