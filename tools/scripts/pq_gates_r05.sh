@@ -23,7 +23,10 @@ set -u
 RUN=${1:?usage: pq_gates_r05.sh <run_dir> [ckpt] [out_dir]}
 CKPT=${2-best_model}
 OUT=${3-/root/repo/artifacts/bench_r05}
-SEEDS=0,42,123
+# 5 paired seeds by default (r4 used {0,42,123}; kept as a subset for
+# continuity — VERDICT r4 weak #4 wants error bars re-measured at the
+# checkpoint they describe, and 2 more seeds tighten the std ~25%)
+SEEDS=${SEEDS-0,42,123,7,9}
 mkdir -p "$OUT"
 cd /root/repo
 
