@@ -40,6 +40,7 @@ row fused512_carrybf16 LDMSEG_SAMPLE_CARRY=bf16 python bench.py
 # seen in the round-3 profile; only lowerable at d%128==0)
 row fused512_sliced    LDMSEG_FLASH_LAYOUT=sliced python bench.py
 row fused512_sliced_carrybf16 LDMSEG_FLASH_LAYOUT=sliced LDMSEG_SAMPLE_CARRY=bf16 python bench.py
+row ddim25             BENCH_STEPS=25 python bench.py
 row dpmpp25            BENCH_SAMPLER=dpm++ BENCH_STEPS=25 python bench.py
 row dpmpp25_carrybf16  BENCH_SAMPLER=dpm++ BENCH_STEPS=25 LDMSEG_SAMPLE_CARRY=bf16 python bench.py
 row fused512_sd8head   BENCH_HEAD_DIM=0 python bench.py
